@@ -1,0 +1,99 @@
+"""YOLO-ReT detector assembly: backbone taps -> RFCR -> FPN/PANet neck
+-> per-scale [B, gh, gw, A, 5+C] raw outputs.
+
+TPU-native equivalent of ``yolov3_body`` (reference:
+code/yolo3/model.py:170-342). The whole forward is a single pure
+function of (params, batchnorm state, images), jit/pjit-able with static
+shapes; truncated transfer learning is handled outside the module as a
+parameter-partition mask (see yoloret_tpu/train/freeze.py) instead of
+Keras layer mutation (reference model.py:219-224).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yoloret_tpu.nn.efficientnet import EfficientNet
+from yoloret_tpu.nn.heads import DetectionNeck
+from yoloret_tpu.nn.layers import maxpool_downsample
+from yoloret_tpu.nn.mobilenetv2 import MobileNetV2
+from yoloret_tpu.nn.rfcr import RFCR
+
+# Backbone registry keyed by the reference's --model names
+# (reference: code/yolo3/model.py:179-217), extended to all EfficientNet
+# variants.
+BACKBONES = {
+    "mobilenetv2x75": ("mobilenetv2", dict(alpha=0.75)),
+    "mobilenetv2x14": ("mobilenetv2", dict(alpha=1.4)),
+    "mobilenetv2x10": ("mobilenetv2", dict(alpha=1.0)),
+    **{f"efficientnetb{i}": ("efficientnet", dict(variant=f"b{i}")) for i in range(8)},
+}
+
+
+class YoloReT(nn.Module):
+    """Flagship detector. ``__call__(images, train)`` with images
+    [B, H, W, 3] (H, W multiples of 32, RGB in [0, 1]) returns
+    (y1, y2, y3): [B, H/32, W/32, A, 5+C], [B, H/16, ...], [B, H/8, ...].
+    """
+
+    backbone: str = "mobilenetv2x75"
+    num_classes: int = 20
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        kind, kw = BACKBONES[self.backbone]
+        if kind == "mobilenetv2":
+            self.body = MobileNetV2(dtype=self.dtype, **kw)
+        else:
+            self.body = EfficientNet(dtype=self.dtype, **kw)
+        self.rfcr = RFCR(dtype=self.dtype)
+        self.neck = DetectionNeck(
+            num_anchors=self.num_anchors,
+            num_classes=self.num_classes,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self, images: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        h, w = images.shape[-3], images.shape[-2]
+        if h % 32 or w % 32:
+            raise ValueError(
+                f"input spatial size ({h}, {w}) must be a multiple of 32 "
+                "(three stride-2 stages feed the /8,/16,/32 pyramid)"
+            )
+        x = images.astype(self.dtype)
+        feats = self.body(x, train)
+        # Shallow tap is pooled x4 to the /16 scale before collection
+        # (reference: code/yolo3/model.py:190).
+        b4 = maxpool_downsample(feats["c2"], 4)
+        b1, b2, b3 = self.rfcr(feats["c5"], feats["c4"], feats["c3"], b4, train)
+        y1, y2, y3 = self.neck(b1, b2, b3, train)
+
+        def split(y):
+            b, gh, gw, _ = y.shape
+            y = y.reshape(b, gh, gw, self.num_anchors, 5 + self.num_classes)
+            # Decode/loss math runs in f32 regardless of compute dtype.
+            return y.astype(jnp.float32)
+
+        return split(y1), split(y2), split(y3)
+
+
+def build_detector(
+    backbone: str = "mobilenetv2x75",
+    num_classes: int = 20,
+    num_anchors: int = 3,
+    dtype: Any = jnp.float32,
+) -> YoloReT:
+    if backbone not in BACKBONES:
+        raise ValueError(f"unknown backbone {backbone!r}; options: {sorted(BACKBONES)}")
+    return YoloReT(
+        backbone=backbone,
+        num_classes=num_classes,
+        num_anchors=num_anchors,
+        dtype=dtype,
+    )

@@ -1,0 +1,15 @@
+from yoloret_tpu.train.losses import LossBreakdown, yolo_loss, yolo_loss_per_scale
+from yoloret_tpu.train.freeze import (
+    backbone_freeze_mask,
+    freeze_partition_labels,
+    make_frozen_optimizer,
+)
+
+__all__ = [
+    "LossBreakdown",
+    "yolo_loss",
+    "yolo_loss_per_scale",
+    "backbone_freeze_mask",
+    "freeze_partition_labels",
+    "make_frozen_optimizer",
+]
