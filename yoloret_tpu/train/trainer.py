@@ -1,0 +1,187 @@
+"""Training orchestration — the ``train()`` driver
+(reference: code/train.py:20-218), TPU-native.
+
+Two-stage schedule exactly as the reference:
+  * stage 1 (``freeze=True``): backbone frozen (optimizer partition +
+    inference-mode backbone BN), Adam(lr[0], eps=1e-8), per-epoch cosine
+    decay over epochs[0]; saves ``<backbone>_trained_weights_stage_1``.
+  * stage 2 (``freeze=False`` + ``train_unfreeze=<ckpt>``): all params
+    trainable, Adam(lr[1]); saves ``<backbone>_trained_weights_final``.
+
+Data parallelism: one (data, model) mesh; the batch dict is sharded over
+``data`` and the TrainState replicated, XLA inserts the grad all-reduce
+(see parallel/mesh.py). Periodic checkpoints + best-val retention via
+Orbax (utils/checkpoint.py). Per-50-batch loss prints match the
+reference's telemetry (code/yolo3/train.py:72-73). Metrics stream to
+``<log_dir>/metrics.jsonl``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from yoloret_tpu.configs import RunConfig
+from yoloret_tpu.data import Dataset, DatasetMode, load_anchors, load_classes
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.parallel import batch_sharding, make_mesh, replicate
+from yoloret_tpu.train.freeze import backbone_freeze_mask, make_frozen_optimizer
+from yoloret_tpu.train.step import (
+    StepConfig,
+    TrainState,
+    cosine_lr_schedule,
+    eval_step,
+    train_step,
+)
+from yoloret_tpu.utils.checkpoint import CheckpointManager, load_params, save_params
+
+
+def train(cfg: RunConfig) -> str:
+    """Run one training stage; returns the path of the saved weights."""
+    assert cfg.train_dataset and cfg.classes_path and cfg.anchors_path, (
+        "train_dataset, classes_path and anchors_path are required"
+    )
+    class_names = load_classes(cfg.classes_path)
+    num_classes = len(class_names)
+    anchors = load_anchors(cfg.anchors_path)
+    stage = 1 if cfg.freeze else 2
+    epochs = cfg.epochs[0] if cfg.freeze else cfg.epochs[1]
+    lr = cfg.learning_rate[0] if cfg.freeze else cfg.learning_rate[1]
+
+    mesh = make_mesh(data=cfg.mesh_data)
+    n_data = mesh.shape["data"]
+    global_batch = cfg.batch_size * n_data  # reference train.py:56
+    data_shard, repl = batch_sharding(mesh), replicate(mesh)
+
+    log_dir = os.path.join(cfg.log_dir, f"{cfg.backbone}_stage{stage}")
+    os.makedirs(log_dir, exist_ok=True)
+    metrics_path = os.path.join(log_dir, "metrics.jsonl")
+
+    train_ds = Dataset(
+        cfg.train_dataset, global_batch, anchors, num_classes,
+        input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
+        max_boxes=cfg.max_boxes, seed=cfg.seed,
+    )
+    val_ds = None
+    if cfg.val_dataset:
+        val_ds = Dataset(
+            cfg.val_dataset, global_batch, anchors, num_classes,
+            input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
+            max_boxes=cfg.max_boxes, mode=DatasetMode.VALIDATE, seed=cfg.seed,
+        )
+    steps_per_epoch = train_ds.steps_per_epoch()
+
+    model = build_detector(
+        cfg.backbone, num_classes=num_classes,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    variables = model.init(
+        rng, jnp.zeros((1, *cfg.input_size, 3), jnp.float32), False
+    )
+    # Load weights: stage 2 resumes the stage-1 checkpoint
+    # (reference train.py:191-193); --model is a generic warm start.
+    init_path = cfg.train_unfreeze if not cfg.freeze else cfg.model
+    if init_path:
+        variables = load_params(init_path, like=variables)
+
+    schedule = cosine_lr_schedule(lr, epochs, steps_per_epoch)
+    base_tx = optax.adam(schedule, eps=1e-8)  # reference train.py:158
+    if cfg.freeze:
+        tx = make_frozen_optimizer(base_tx, backbone_freeze_mask(variables["params"]))
+    else:
+        tx = base_tx
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx,
+        use_ema=cfg.use_ema,
+    )
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, state
+    )
+
+    step_cfg = StepConfig(
+        anchors=tuple(map(tuple, anchors.tolist())),
+        num_scales=cfg.num_scales,
+        ignore_thresh=cfg.ignore_thresh,
+        box_loss=cfg.box_loss,
+        backbone_train=not cfg.freeze,
+        use_adv=cfg.use_adv,
+    )
+    jit_train = jax.jit(
+        partial(train_step, cfg=step_cfg),
+        in_shardings=(repl, data_shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    jit_eval = jax.jit(
+        partial(eval_step, cfg=step_cfg), in_shardings=(repl, data_shard)
+    )
+
+    ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"), every=cfg.checkpoint_every)
+    step_rng = jax.random.PRNGKey(cfg.seed + 1)
+    mfile = open(metrics_path, "a")
+
+    print(
+        f"stage {stage}: {cfg.backbone} @{cfg.input_size}, "
+        f"{n_data}-way DP, global batch {global_batch}, "
+        f"{steps_per_epoch} steps/epoch x {epochs} epochs"
+    )
+    train_iter = train_ds.build(epochs=None)
+    for epoch in range(epochs):
+        t0 = time.time()
+        running = 0.0
+        for bstep in range(steps_per_epoch):
+            batch = next(train_iter)
+            batch = jax.tree.map(lambda x: jax.device_put(x, data_shard), batch)
+            state, m = jit_train(state, batch, step_rng)
+            running += float(m["loss"])
+            if (bstep + 1) % 50 == 0:  # reference yolo3/train.py:72-73
+                print(
+                    f"epoch {epoch} step {bstep + 1}/{steps_per_epoch} "
+                    f"loss {running / (bstep + 1):.4f}"
+                )
+        train_loss = running / steps_per_epoch
+
+        val_loss = float("nan")
+        if val_ds is not None:
+            vtotal, vn = 0.0, 0
+            for vbatch in val_ds.build(epochs=1):
+                vbatch = jax.tree.map(lambda x: jax.device_put(x, data_shard), vbatch)
+                vtotal += float(jit_eval(state, vbatch)["val_loss"])
+                vn += 1
+            val_loss = vtotal / max(vn, 1)
+
+        dt = time.time() - t0
+        lr_now = float(schedule(jnp.asarray(epoch * steps_per_epoch)))
+        rec = {
+            "epoch": epoch, "loss": train_loss, "val_loss": val_loss,
+            "lr": lr_now, "sec": round(dt, 2),
+            "images_per_sec": round(global_batch * steps_per_epoch / dt, 1),
+        }
+        print(json.dumps(rec))
+        mfile.write(json.dumps(rec) + "\n")
+        mfile.flush()
+        ckpt.maybe_save(
+            epoch,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            val_loss if np.isfinite(val_loss) else train_loss,
+        )
+
+    suffix = "stage_1" if cfg.freeze else "final"
+    out = os.path.join(log_dir, f"{cfg.backbone}_trained_weights_{suffix}")
+    tree = {"params": state.params, "batch_stats": state.batch_stats}
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
+    save_params(out, tree)
+    ckpt.close()
+    mfile.close()
+    print(f"saved {out}")
+    return out
