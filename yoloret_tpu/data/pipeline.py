@@ -42,9 +42,22 @@ class DatasetMode(enum.Enum):
 
 
 def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int]], rng):
-    """PIL decode -> optional re-encode (random JPEG quality, the one
+    """JPEG decode -> optional re-encode (random JPEG quality, the one
     reference augmentation with no device equivalent,
-    code/yolo3/utils.py:225-227) -> stretch to staging square."""
+    code/yolo3/utils.py:225-227) -> stretch to staging square.
+
+    Uses the native libjpeg loader (yoloret_tpu/native) when built —
+    fused decode+resize+normalize, no GIL — and falls back to PIL."""
+    from yoloret_tpu import native
+
+    use_native = native.available()
+    if use_native and jpeg_quality is None and path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            img, (ih, iw) = native.decode_resize(path, staging)
+            return img, (ih, iw)
+        except IOError:
+            pass  # fall through to PIL (e.g. mislabeled PNG)
+
     from PIL import Image
     import io
 
@@ -54,6 +67,12 @@ def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int
         q = int(rng.randint(jpeg_quality[0], jpeg_quality[1] + 1))
         buf = io.BytesIO()
         img.save(buf, format="JPEG", quality=q)
+        if use_native:
+            try:
+                out, _ = native.decode_resize_bytes(buf.getvalue(), staging)
+                return out, (ih, iw)
+            except IOError:
+                pass
         buf.seek(0)
         img = Image.open(buf).convert("RGB")
     img = img.resize((staging, staging), Image.BILINEAR)

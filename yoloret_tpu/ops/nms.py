@@ -6,10 +6,13 @@ classes on a flattened batch-1 box list (reference: code/yolo3/model.py:
 postprocess is one static-shape XLA program:
 
   1. per class, take the top-K candidate boxes by score (K static),
-  2. compute the [C, K, K] IoU matrix in one shot,
-  3. run ``max_det`` greedy suppression steps as a `lax.fori_loop`, each step
-     picking the per-class argmax and knocking out overlapping candidates.
+  2. run ``max_det`` greedy suppression steps as a `lax.fori_loop`; each
+     step picks the per-class argmax and computes ONE [C, K] IoU row of
+     the pick against its class pool to knock out overlaps.
 
+IoU is evaluated lazily (max_det rows total) instead of materializing
+the [C, K, K] matrix up front — C*K*max_det work and [C, K] live memory
+instead of C*K^2, which keeps batched NMS HBM-resident at large batch.
 All classes are processed in parallel (one vectorized loop of `max_det`
 iterations total, not per class) and the result is a fixed-size
 [C * max_det] detection list with a validity mask — jit/vmap friendly, so
@@ -64,9 +67,6 @@ def class_aware_nms(
     cls_scores, cls_idx = jax.lax.top_k(scores.T, k)  # scores.T: [C, N]
     cls_boxes = boxes[cls_idx]  # [C, K, 4]
 
-    # Pairwise IoU within each class pool: [C, K, K].
-    ious = box_iou(cls_boxes[:, :, None, :], cls_boxes[:, None, :, :])
-
     neg_inf = jnp.asarray(-jnp.inf, cls_scores.dtype)
     # tf.image.non_max_suppression prunes score < score_threshold (keeps ==).
     active = jnp.where(cls_scores >= score_threshold, cls_scores, neg_inf)
@@ -84,8 +84,9 @@ def class_aware_nms(
         out_boxes = out_boxes.at[:, i].set(jnp.where(picked[:, None], best_box, 0.0))
         out_scores = out_scores.at[:, i].set(jnp.where(picked, best_score, neg_inf))
 
-        # Suppress: the pick itself and anything with IoU > threshold.
-        pick_iou = jnp.take_along_axis(ious, best[:, None, None], axis=1)[:, 0]  # [C, K]
+        # Suppress: the pick itself and anything with IoU > threshold
+        # (one lazy [C, K] IoU row per step).
+        pick_iou = box_iou(best_box[:, None, :], cls_boxes)  # [C, K]
         kill = pick_iou > iou_threshold
         kill = kill | (jax.lax.broadcasted_iota(jnp.int32, (c, k), 1) == best[:, None])
         active = jnp.where(picked[:, None] & kill, neg_inf, active)
