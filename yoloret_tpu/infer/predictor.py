@@ -48,6 +48,8 @@ class Predictor:
         bf16: bool = True,
         use_ema: bool = False,
         seed: int = 0,
+        zoom_ensemble: bool = False,
+        zoom_hw: Tuple[int, int] = (224, 224),
     ):
         if class_names is None:
             assert classes_path, "need class_names or classes_path"
@@ -82,10 +84,21 @@ class Predictor:
 
         anchors_j = jnp.asarray(self.anchors)
         nc = len(self.class_names)
+        self.zoom_ensemble = zoom_ensemble
+        zh, zw = zoom_hw
 
         @jax.jit
         def _infer(variables, images, image_hw):
             outs = self.model.apply(variables, images, False)
+            zoom_outs = None
+            if zoom_ensemble:
+                # Second pass over the CENTER CROP of the network input
+                # (reference yolo.py:154-161); fully-convolutional model
+                # runs at the crop resolution directly.
+                h, w = images.shape[1], images.shape[2]
+                y0, x0 = (h - zh) // 2, (w - zw) // 2
+                crop = images[:, y0 : y0 + zh, x0 : x0 + zw, :]
+                zoom_outs = self.model.apply(variables, crop, False)
             return detect_batch(
                 outs,
                 anchors_j,
@@ -93,6 +106,7 @@ class Predictor:
                 image_hw=image_hw,
                 score_threshold=self.score_threshold,
                 iou_threshold=self.iou_threshold,
+                zoom_outputs=zoom_outs,
             )
 
         self._infer = _infer

@@ -9,7 +9,7 @@ and fully on-device as one XLA program.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,7 @@ def gather_boxes_and_scores(
     anchors: jnp.ndarray,
     num_classes: int,
     image_hw: jnp.ndarray,
+    zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode + letterbox-correct all scales for ONE image.
 
@@ -32,6 +33,11 @@ def gather_boxes_and_scores(
       anchors: [9, 2] (w, h) pixels.
       num_classes: C.
       image_hw: [2] float (H_img, W_img).
+      zoom_outputs: optional per-scale heads from a second pass over the
+        CENTER CROP of the network input (the reference's experimental
+        zoom-in ensemble, code/yolo3/model.py:408-422 / yolo.py:154-161);
+        their boxes are rescaled into the primary input frame and
+        concatenated before NMS.
 
     Returns:
       boxes [N, 4] (ymin,xmin,ymax,xmax) in image pixels; scores [N, C].
@@ -46,6 +52,25 @@ def gather_boxes_and_scores(
     for l in range(num_scales):
         feats = outputs[l].astype(jnp.float32)
         xy, wh, obj, probs = decode_scale(feats, anchors[jnp.asarray(masks[l])], input_hw)
+        if zoom_outputs is not None:
+            zfeats = zoom_outputs[l].astype(jnp.float32)
+            zoom_hw = (zfeats.shape[-4] * 32, zfeats.shape[-3] * 32)
+            zxy, zwh, zobj, zprobs = decode_scale(
+                zfeats, anchors[jnp.asarray(masks[l])], zoom_hw
+            )
+            # Map crop-frame coords into the primary frame
+            # (reference model.py:411-417: xy*(z/in) + (in-z)/(2*in)).
+            ratio = jnp.asarray(
+                [zoom_hw[1] / input_hw[1], zoom_hw[0] / input_hw[0]], jnp.float32
+            )
+            offset = (1.0 - ratio) / 2.0
+            zxy = zxy * ratio + offset
+            zwh = zwh * ratio
+            flat = lambda a, b: jnp.concatenate([a.reshape(-1, a.shape[-1]), b.reshape(-1, b.shape[-1])])
+            xy = flat(xy, zxy)
+            wh = flat(wh, zwh)
+            obj = flat(obj, zobj)
+            probs = flat(probs, zprobs)
         boxes = correct_boxes(xy, wh, input_hw, image_hw)
         all_boxes.append(boxes.reshape(-1, 4))
         all_scores.append((obj * probs).reshape(-1, num_classes))
@@ -62,9 +87,12 @@ def detect(
     score_threshold: float = 0.6,
     iou_threshold: float = 0.5,
     num_candidates: int = 512,
+    zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
 ) -> NMSResult:
     """Single-image postprocess (unbatched head outputs)."""
-    boxes, scores = gather_boxes_and_scores(outputs, anchors, num_classes, image_hw)
+    boxes, scores = gather_boxes_and_scores(
+        outputs, anchors, num_classes, image_hw, zoom_outputs=zoom_outputs
+    )
     return class_aware_nms(
         boxes,
         scores,
@@ -85,10 +113,23 @@ def detect_batch(
     score_threshold: float = 0.6,
     iou_threshold: float = 0.5,
     num_candidates: int = 512,
+    zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
 ) -> NMSResult:
     """Batched postprocess: outputs [B, gh, gw, A, 5+C] per scale,
     image_hw [B, 2]. Returns NMSResult with leading batch dim."""
-    fn = lambda outs, hw: detect(
+    if zoom_outputs is None:
+        fn = lambda outs, hw: detect(
+            outs,
+            anchors,
+            num_classes,
+            hw,
+            max_det_per_class=max_det_per_class,
+            score_threshold=score_threshold,
+            iou_threshold=iou_threshold,
+            num_candidates=num_candidates,
+        )
+        return jax.vmap(fn)(tuple(outputs), image_hw)
+    fn = lambda outs, zouts, hw: detect(
         outs,
         anchors,
         num_classes,
@@ -97,5 +138,6 @@ def detect_batch(
         score_threshold=score_threshold,
         iou_threshold=iou_threshold,
         num_candidates=num_candidates,
+        zoom_outputs=zouts,
     )
-    return jax.vmap(fn)(tuple(outputs), image_hw)
+    return jax.vmap(fn)(tuple(outputs), tuple(zoom_outputs), image_hw)
