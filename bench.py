@@ -40,22 +40,28 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
     @jax.jit
     def infer(variables, images):
         outs = model.apply(variables, images, False)
-        return detect_batch(
+        res = detect_batch(
             outs, anchors, num_classes=20, image_hw=image_hw, score_threshold=0.3
         )
+        # Feed a scalar of the result back into the next input so each
+        # iteration depends on the previous one — otherwise an async /
+        # tunneled backend can overlap independent executions and the
+        # loop measures dispatch rate, not device throughput.
+        chained = images + 1e-12 * jnp.mean(res.scores).astype(images.dtype)
+        return chained, res
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
 
     # Warmup / compile.
     for _ in range(warmup):
-        res = infer(variables, images)
-    jax.block_until_ready(res)
+        images, res = infer(variables, images)
+    jax.block_until_ready((images, res))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = infer(variables, images)
-    jax.block_until_ready(res)
+        images, res = infer(variables, images)
+    jax.block_until_ready((images, res))
     dt = time.perf_counter() - t0
 
     total_imgs = batch * iters

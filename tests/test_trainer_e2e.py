@@ -62,6 +62,11 @@ def test_train_then_eval(tiny_voc, tmp_path):
     assert len(metrics) == 2
     assert np.isfinite(metrics[-1]["loss"]) and np.isfinite(metrics[-1]["val_loss"])
 
+    # preemption recovery: resume=True restores the latest periodic
+    # checkpoint (epoch 1) and skips straight past the trained epochs
+    out_r = train(cfg.replace(resume=True))
+    assert os.path.isdir(out_r)
+
     # stage 2 resumes from stage 1 weights
     cfg2 = cfg.replace(freeze=False, train_unfreeze=out)
     out2 = train(cfg2)

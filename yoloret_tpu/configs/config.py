@@ -84,6 +84,9 @@ class RunConfig:
     use_adv: bool = False
     use_ema: bool = False
     checkpoint_every: int = 3  # epochs (reference train.py:74-79)
+    resume: bool = False  # restore the latest periodic checkpoint (incl.
+    # optimizer state) and continue — preemption recovery the reference
+    # lacks (SURVEY §5: manual restart only)
     log_dir: str = "logs"
     # inference / eval
     score_threshold: float = 0.6

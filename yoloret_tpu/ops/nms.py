@@ -44,6 +44,7 @@ def class_aware_nms(
     iou_threshold: float = 0.5,
     score_threshold: float = 0.6,
     num_candidates: int = 512,
+    approx_topk: bool = True,
 ) -> NMSResult:
     """Per-class greedy NMS over a shared box list (single image).
 
@@ -56,6 +57,12 @@ def class_aware_nms(
         tf.image.non_max_suppression).
       score_threshold: minimum score to emit a detection.
       num_candidates: static per-class candidate pool size K.
+      approx_topk: use ``jax.lax.approx_max_k`` for candidate selection —
+        the TPU-native partial-reduce top-k (much cheaper than the full
+        sort ``lax.top_k`` lowers to). Recall target 0.95 over a pool
+        2.5x deeper than the per-class detection cap, so misses are
+        far-down candidates that NMS would almost surely suppress.
+        Lowers to exact top-k on CPU.
 
     Returns:
       NMSResult with fixed shape [C * max_det_per_class].
@@ -64,7 +71,12 @@ def class_aware_nms(
     k = min(num_candidates, n)
 
     # Per-class top-K candidate selection: [C, K].
-    cls_scores, cls_idx = jax.lax.top_k(scores.T, k)  # scores.T: [C, N]
+    if approx_topk:
+        cls_scores, cls_idx = jax.lax.approx_max_k(
+            scores.T, k, recall_target=0.95
+        )
+    else:
+        cls_scores, cls_idx = jax.lax.top_k(scores.T, k)  # scores.T: [C, N]
     cls_boxes = boxes[cls_idx]  # [C, K, 4]
 
     neg_inf = jnp.asarray(-jnp.inf, cls_scores.dtype)

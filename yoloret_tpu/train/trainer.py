@@ -126,8 +126,30 @@ def train(cfg: RunConfig) -> str:
     )
 
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"), every=cfg.checkpoint_every)
+    start_epoch = 0
+    if cfg.resume:
+        latest = ckpt.latest_epoch()
+        if latest is not None:
+            tree = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }
+            restored = ckpt.restore(latest, tree)
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=restored["step"],
+            )
+            start_epoch = latest + 1
+            print(f"resumed from epoch {latest} checkpoint")
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
     mfile = open(metrics_path, "a")
+    from yoloret_tpu.utils.tensorboard import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(log_dir, "tb"))
 
     print(
         f"stage {stage}: {cfg.backbone} @{cfg.input_size}, "
@@ -135,7 +157,7 @@ def train(cfg: RunConfig) -> str:
         f"{steps_per_epoch} steps/epoch x {epochs} epochs"
     )
     train_iter = train_ds.build(epochs=None)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         running = 0.0
         for bstep in range(steps_per_epoch):
@@ -169,9 +191,19 @@ def train(cfg: RunConfig) -> str:
         print(json.dumps(rec))
         mfile.write(json.dumps(rec) + "\n")
         mfile.flush()
+        tb.add_scalar("loss", train_loss, epoch)
+        if np.isfinite(val_loss):
+            tb.add_scalar("val_loss", val_loss, epoch)
+        tb.add_scalar("lr", lr_now, epoch)
+        tb.flush()
         ckpt.maybe_save(
             epoch,
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            },
             val_loss if np.isfinite(val_loss) else train_loss,
         )
 
@@ -183,5 +215,6 @@ def train(cfg: RunConfig) -> str:
     save_params(out, tree)
     ckpt.close()
     mfile.close()
+    tb.close()
     print(f"saved {out}")
     return out
