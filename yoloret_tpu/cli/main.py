@@ -177,6 +177,14 @@ def main(argv=None) -> int:
         from yoloret_tpu.export import export_model
 
         export_model(cfg, flavor=mode_name.lower())
+    elif mode_name == "PRUNE":
+        # The reference declares MODE.PRUNE but ships no handler
+        # (code/main.py:158-160, code/yolo3/enums.py) — report clearly
+        # instead of crashing.
+        print("PRUNE: model pruning is not implemented (the reference "
+              "declares the mode without a handler); --quantize is "
+              "likewise threaded but inert for parity")
+        return 2
     else:
         print(f"unknown mode {args.mode!r}", file=sys.stderr)
         return 2

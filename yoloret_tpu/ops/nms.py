@@ -86,11 +86,16 @@ def class_aware_nms(
     out_boxes0 = jnp.zeros((c, max_det_per_class, 4), boxes.dtype)
     out_scores0 = jnp.full((c, max_det_per_class), neg_inf, cls_scores.dtype)
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, k), 1)
+
     def step(i, carry):
         active, out_boxes, out_scores = carry
+        # max + one-hot contraction instead of argmax + take_along_axis:
+        # TPU gathers are scalar-unit bound, the einsum rides the MXU/VPU.
+        best_score = jnp.max(active, axis=1)  # [C]
         best = jnp.argmax(active, axis=1)  # [C]
-        best_score = jnp.take_along_axis(active, best[:, None], axis=1)[:, 0]
-        best_box = jnp.take_along_axis(cls_boxes, best[:, None, None], axis=1)[:, 0]
+        onehot = (lane == best[:, None]).astype(cls_boxes.dtype)  # [C, K]
+        best_box = jnp.einsum("ck,ckd->cd", onehot, cls_boxes)
         picked = best_score > neg_inf  # finite == a real pick
 
         out_boxes = out_boxes.at[:, i].set(jnp.where(picked[:, None], best_box, 0.0))
@@ -99,8 +104,7 @@ def class_aware_nms(
         # Suppress: the pick itself and anything with IoU > threshold
         # (one lazy [C, K] IoU row per step).
         pick_iou = box_iou(best_box[:, None, :], cls_boxes)  # [C, K]
-        kill = pick_iou > iou_threshold
-        kill = kill | (jax.lax.broadcasted_iota(jnp.int32, (c, k), 1) == best[:, None])
+        kill = (pick_iou > iou_threshold) | (onehot > 0)
         active = jnp.where(picked[:, None] & kill, neg_inf, active)
         return active, out_boxes, out_scores
 
