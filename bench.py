@@ -11,9 +11,18 @@ that.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
+
+# Persistent compile cache: the fused forward+decode+NMS program is large
+# and first-compile on the tunneled backend is minutes; cache hits are
+# seconds on reruns.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,10 +62,12 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
 
-    # Warmup / compile.
+    # Warmup / compile (progress to stderr; stdout stays one JSON line).
+    t_c = time.perf_counter()
     for _ in range(warmup):
         images, res = infer(variables, images)
     jax.block_until_ready((images, res))
+    print(f"compile+warmup: {time.perf_counter() - t_c:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):
