@@ -114,9 +114,24 @@ def detect_batch(
     iou_threshold: float = 0.5,
     num_candidates: int = 512,
     zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
+    use_pallas: Optional[bool] = None,
 ) -> NMSResult:
     """Batched postprocess: outputs [B, gh, gw, A, 5+C] per scale,
-    image_hw [B, 2]. Returns NMSResult with leading batch dim."""
+    image_hw [B, 2]. Returns NMSResult with leading batch dim.
+
+    ``use_pallas`` selects the fused VMEM-resident NMS kernel
+    (ops/nms_pallas.py); default: on for TPU backends, off elsewhere.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas and zoom_outputs is None:
+        return _detect_batch_pallas(
+            outputs, anchors, num_classes, image_hw,
+            max_det_per_class=max_det_per_class,
+            score_threshold=score_threshold,
+            iou_threshold=iou_threshold,
+            num_candidates=num_candidates,
+        )
     if zoom_outputs is None:
         fn = lambda outs, hw: detect(
             outs,
@@ -141,3 +156,41 @@ def detect_batch(
         zoom_outputs=zouts,
     )
     return jax.vmap(fn)(tuple(outputs), tuple(zoom_outputs), image_hw)
+
+
+def _detect_batch_pallas(
+    outputs: Sequence[jnp.ndarray],
+    anchors: jnp.ndarray,
+    num_classes: int,
+    image_hw: jnp.ndarray,
+    *,
+    max_det_per_class: int,
+    score_threshold: float,
+    iou_threshold: float,
+    num_candidates: int,
+) -> NMSResult:
+    """decode (vmap) -> batched per-class candidate top-k -> fused Pallas
+    suppression kernel."""
+    from yoloret_tpu.ops.nms_pallas import fused_result, nms_fused
+
+    boxes, scores = jax.vmap(
+        lambda outs, hw: gather_boxes_and_scores(outs, anchors, num_classes, hw)
+    )(tuple(outputs), image_hw)  # [B, N, 4], [B, N, C]
+
+    n = scores.shape[1]
+    k = min(num_candidates, n)
+    cls_scores, cls_idx = jax.lax.approx_max_k(
+        scores.transpose(0, 2, 1), k, recall_target=0.95
+    )  # [B, C, K]
+    # gather candidate boxes: [B, C, K, 4]
+    cls_boxes = jnp.take_along_axis(
+        boxes[:, None, :, :], cls_idx[..., None], axis=2
+    )
+    out_boxes, out_scores = nms_fused(
+        cls_boxes,
+        cls_scores,
+        max_det_per_class=max_det_per_class,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+    )
+    return fused_result(out_boxes, out_scores)

@@ -4,5 +4,12 @@ from yoloret_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from yoloret_tpu.parallel.prefetch import device_prefetch
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "device_prefetch",
+]

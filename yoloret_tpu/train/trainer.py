@@ -156,13 +156,14 @@ def train(cfg: RunConfig) -> str:
         f"{n_data}-way DP, global batch {global_batch}, "
         f"{steps_per_epoch} steps/epoch x {epochs} epochs"
     )
-    train_iter = train_ds.build(epochs=None)
+    from yoloret_tpu.parallel import device_prefetch
+
+    train_iter = device_prefetch(train_ds.build(epochs=None), data_shard, size=2)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         running = 0.0
         for bstep in range(steps_per_epoch):
             batch = next(train_iter)
-            batch = jax.tree.map(lambda x: jax.device_put(x, data_shard), batch)
             state, m = jit_train(state, batch, step_rng)
             running += float(m["loss"])
             if (bstep + 1) % 50 == 0:  # reference yolo3/train.py:72-73
@@ -175,8 +176,7 @@ def train(cfg: RunConfig) -> str:
         val_loss = float("nan")
         if val_ds is not None:
             vtotal, vn = 0.0, 0
-            for vbatch in val_ds.build(epochs=1):
-                vbatch = jax.tree.map(lambda x: jax.device_put(x, data_shard), vbatch)
+            for vbatch in device_prefetch(val_ds.build(epochs=1), data_shard, size=2):
                 vtotal += float(jit_eval(state, vbatch)["val_loss"])
                 vn += 1
             val_loss = vtotal / max(vn, 1)
