@@ -104,6 +104,25 @@ def test_detector_output_shapes(backbone, size, classes):
     assert y3.shape == (2, size // 8, size // 8, 3, 5 + classes)
 
 
+def test_darknet53_taps():
+    from yoloret_tpu.nn.darknet import DarkNet53
+
+    m = DarkNet53()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), False)
+    f = m.apply(v, jnp.zeros((1, 128, 128, 3)), False)
+    assert f["c2"].shape == (1, 32, 32, 128)
+    assert f["c3"].shape == (1, 16, 16, 256)
+    assert f["c4"].shape == (1, 8, 8, 512)
+    assert f["c5"].shape == (1, 4, 4, 1024)
+
+
+def test_darknet53_detector_builds():
+    m = build_detector("darknet53", num_classes=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), False)
+    ys = m.apply(v, jnp.zeros((1, 96, 96, 3)), False)
+    assert ys[0].shape == (1, 3, 3, 3, 7)
+
+
 def test_detector_jit_and_grad():
     m = build_detector("mobilenetv2x75", num_classes=4)
     x = jnp.ones((1, 64, 64, 3)) * 0.5
