@@ -40,11 +40,17 @@ def _nms_kernel(
     out_ymin_ref, out_xmin_ref, out_ymax_ref, out_xmax_ref,  # [C, D]
     *,
     max_det: int,
+    out_width: int,
     iou_threshold: float,
     score_threshold: float,
 ):
     c, k = scores_ref.shape
+    d = out_width  # lane-aligned (>= max_det); extra columns stay zero
     lane = jax.lax.broadcasted_iota(jnp.int32, (c, k), 1)
+    # Output column selector: Mosaic cannot prove dynamic lane-dim store
+    # alignment, so outputs accumulate through one-hot selects instead of
+    # ref[:, i] dynamic writes.
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, d), 1)
 
     y0 = ymin_ref[:]
     x0 = xmin_ref[:]
@@ -56,8 +62,10 @@ def _nms_kernel(
 
     scores = scores_ref[:]
     active0 = jnp.where(scores >= score_threshold, scores, NEG)
+    zeros_cd = jnp.zeros((c, d), jnp.float32)
 
-    def step(i, active):
+    def step(i, carry):
+        active, o_s, o_y0, o_x0, o_y1, o_x1 = carry
         best_score = jnp.max(active, axis=1)  # [C]
         # lowest index among maxima (argmax semantics)
         cand = jnp.where(active == best_score[:, None], lane, k)
@@ -71,11 +79,12 @@ def _nms_kernel(
         bx1 = jnp.sum(x1 * onehot, axis=1)
         barea = jnp.sum(area * onehot, axis=1)
 
-        out_scores_ref[:, i] = jnp.where(picked, best_score, 0.0)
-        out_ymin_ref[:, i] = jnp.where(picked, by0, 0.0)
-        out_xmin_ref[:, i] = jnp.where(picked, bx0, 0.0)
-        out_ymax_ref[:, i] = jnp.where(picked, by1, 0.0)
-        out_xmax_ref[:, i] = jnp.where(picked, bx1, 0.0)
+        sel = (col == i) & picked[:, None]  # [C, D]
+        o_s = jnp.where(sel, best_score[:, None], o_s)
+        o_y0 = jnp.where(sel, by0[:, None], o_y0)
+        o_x0 = jnp.where(sel, bx0[:, None], o_x0)
+        o_y1 = jnp.where(sel, by1[:, None], o_y1)
+        o_x1 = jnp.where(sel, bx1[:, None], o_x1)
 
         # IoU of the pick against its whole class pool (vector math).
         iy = jnp.maximum(0.0, jnp.minimum(y1, by1[:, None]) - jnp.maximum(y0, by0[:, None]))
@@ -85,9 +94,18 @@ def _nms_kernel(
         iou = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
 
         kill = (iou > iou_threshold) | (onehot > 0)
-        return jnp.where(picked[:, None] & kill, NEG, active)
+        active = jnp.where(picked[:, None] & kill, NEG, active)
+        return active, o_s, o_y0, o_x0, o_y1, o_x1
 
-    jax.lax.fori_loop(0, max_det, step, active0)
+    _, o_s, o_y0, o_x0, o_y1, o_x1 = jax.lax.fori_loop(
+        0, max_det, step,
+        (active0, zeros_cd, zeros_cd, zeros_cd, zeros_cd, zeros_cd),
+    )
+    out_scores_ref[:] = o_s
+    out_ymin_ref[:] = o_y0
+    out_xmin_ref[:] = o_x0
+    out_ymax_ref[:] = o_y1
+    out_xmax_ref[:] = o_x1
 
 
 def nms_fused(
@@ -103,16 +121,28 @@ def nms_fused(
     with zero rows for empty slots."""
     b, c, k, _ = cls_boxes.shape
     d = max_det_per_class
-    planes = tuple(cls_boxes[..., i] for i in range(4))  # 4 x [B, C, K]
+    # Mosaic tiling: the sublane (class) dimension must be a multiple of
+    # 8 for f32 blocks — pad with never-picked dummy classes and crop
+    # after the kernel.
+    c_pad = (-c) % 8
+    if c_pad:
+        cls_boxes = jnp.pad(cls_boxes, ((0, 0), (0, c_pad), (0, 0), (0, 0)))
+        cls_scores = jnp.pad(
+            cls_scores, ((0, 0), (0, c_pad), (0, 0)), constant_values=NEG
+        )
+    cp = c + c_pad
+    dp = d + ((-d) % 128)  # lane dimension must be 128-aligned
+    planes = tuple(cls_boxes[..., i] for i in range(4))  # 4 x [B, Cp, K]
 
     kernel = partial(
         _nms_kernel,
         max_det=d,
+        out_width=dp,
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
     )
-    in_spec = pl.BlockSpec((1, c, k), lambda i: (i, 0, 0))
-    out_spec = pl.BlockSpec((1, c, d), lambda i: (i, 0, 0))
+    in_spec = pl.BlockSpec((1, cp, k), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((1, cp, dp), lambda i: (i, 0, 0))
 
     def kernel3d(s, p0, p1, p2, p3, os, o0, o1, o2, o3):
         kernel(
@@ -125,13 +155,13 @@ def nms_fused(
         grid=(b,),
         in_specs=[in_spec] * 5,
         out_specs=[out_spec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((b, c, d), jnp.float32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((b, cp, dp), jnp.float32)] * 5,
         interpret=interpret,
     )(cls_scores.astype(jnp.float32), *[p.astype(jnp.float32) for p in planes])
 
     out_scores, oy0, ox0, oy1, ox1 = outs
     out_boxes = jnp.stack([oy0, ox0, oy1, ox1], axis=-1)
-    return out_boxes, out_scores
+    return out_boxes[:, :c, :d], out_scores[:, :c, :d]
 
 
 def fused_result(

@@ -102,6 +102,10 @@ def assign_targets(
     return tuple(outs)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 3, 4))
 def assign_targets_batch(
     boxes: jnp.ndarray,
     input_hw: Tuple[int, int],
@@ -109,7 +113,8 @@ def assign_targets_batch(
     num_classes: int,
     num_scales: int = 3,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Batched :func:`assign_targets` (vmap over the leading axis)."""
+    """Batched :func:`assign_targets` (vmap over the leading axis),
+    jit-compiled once per (batch, input, classes) configuration."""
     fn = lambda b: assign_targets(b, input_hw, anchors, num_classes, num_scales)
     return jax.vmap(fn)(boxes)
 
