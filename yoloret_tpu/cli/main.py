@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest periodic checkpoint (with optimizer state) and continue")
+    p.add_argument("--truncate_block", type=float, default=None,
+                   help="freeze only backbone blocks up to this depth index "
+                        "(truncated-transfer study); default: whole backbone")
     p.add_argument("--score", dest="score_threshold", type=float, default=d.score_threshold)
     p.add_argument("--nms_iou", type=float, default=d.nms_iou)
     p.add_argument("--log_dir", type=str, default=d.log_dir)
@@ -83,8 +86,8 @@ def args_to_config(args) -> RunConfig:
     for f in (
         "backbone input_size num_scales model train_dataset val_dataset "
         "test_dataset classes_path anchors_path batch_size box_loss use_adv "
-        "use_ema resume score_threshold nms_iou log_dir opt seed bf16 mesh_data "
-        "export image video output quantize prune freeze train_unfreeze"
+        "use_ema resume truncate_block score_threshold nms_iou log_dir opt seed "
+        "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"
     ).split():
         v = getattr(args, f)
         if v != getattr(defaults, f):

@@ -79,6 +79,9 @@ class RunConfig:
     learning_rate: Tuple[float, float] = (1e-3, 1e-4)
     freeze: bool = True
     train_unfreeze: Optional[str] = None  # stage-1 ckpt to resume unfrozen
+    truncate_block: Optional[float] = None  # freeze only backbone blocks
+    # <= this depth index (the paper's truncation-point study); None
+    # freezes the whole backbone in stage 1 (reference main configs)
     box_loss: str = "giou"
     ignore_thresh: float = 0.5
     use_adv: bool = False

@@ -96,7 +96,10 @@ def train(cfg: RunConfig) -> str:
     schedule = cosine_lr_schedule(lr, epochs, steps_per_epoch)
     base_tx = optax.adam(schedule, eps=1e-8)  # reference train.py:158
     if cfg.freeze:
-        tx = make_frozen_optimizer(base_tx, backbone_freeze_mask(variables["params"]))
+        labels = backbone_freeze_mask(
+            variables["params"], upto_block=cfg.truncate_block
+        )
+        tx = make_frozen_optimizer(base_tx, labels)
     else:
         tx = base_tx
     state = TrainState.create(
