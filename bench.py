@@ -90,5 +90,57 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
     )
 
 
+def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int = 3):
+    """Training-step throughput (not the driver metric; run with --train)."""
+    import optax
+
+    from yoloret_tpu.ops import assign_targets_batch, true_corner_boxes
+    from yoloret_tpu.train import StepConfig, TrainState, train_step
+    from functools import partial
+
+    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
+    )
+    tx = optax.adam(1e-3, eps=1e-8)
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"], tx
+    )
+    cfg = StepConfig(anchors=tuple(map(tuple, ANCHORS.tolist())))
+
+    rng = np.random.RandomState(0)
+    boxes = np.zeros((batch, 20, 5), np.float32)
+    boxes[:, 0, :4] = [20, 20, 120, 120]
+    y0, y1, y2 = assign_targets_batch(
+        jnp.asarray(boxes), (size, size), jnp.asarray(ANCHORS), 20
+    )
+    gt, valid = true_corner_boxes(jnp.asarray(boxes), (size, size))
+    b = {
+        "images": jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32)),
+        "y_true_0": y0, "y_true_1": y1, "y_true_2": y2,
+        "gt_boxes": gt, "gt_valid": valid,
+    }
+    step = jax.jit(partial(train_step, cfg=cfg), donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, m = step(state, b, key)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, b, key)  # state donation chains iterations
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt / max(1, len(jax.devices()))
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_320",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()

@@ -76,3 +76,15 @@ def test_evaluator_iou_threshold_strict():
     ev.add_image(np.array([pred], float), np.array([0.9]), np.array([0]), np.array([gt + [0]], float))
     aps = ev.compute()
     assert aps[0] == 0.0
+
+
+def test_compute_range_coco_style():
+    ev = MAPEvaluator(num_classes=1)
+    a = [10, 10, 110, 110]
+    near = [15, 15, 115, 115]  # IoU ~0.82 vs a -> TP at .5-.8, FP above
+    ev.add_image(np.array([near], float), np.array([0.9]), np.array([0]),
+                 np.array([a + [0]], float))
+    m_range = ev.compute_range()
+    m_50 = np.mean(list(ev.compute().values()))
+    assert m_50 == pytest.approx(1.0)
+    assert 0.0 < m_range < m_50  # high-IoU thresholds drop the match

@@ -34,7 +34,8 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray) -> float:
 
 class MAPEvaluator:
     """Streaming accumulator: feed per-image detections + ground truth,
-    then ``compute()`` per-class APs.
+    then ``compute()`` per-class APs (at the single VOC threshold) or
+    ``compute_range()`` for COCO-style mAP@[.5:.95].
 
     Boxes are (x1, y1, x2, y2) in original-image pixels.
     """
@@ -59,6 +60,23 @@ class MAPEvaluator:
             self._preds.append((idx, int(c), float(s), np.asarray(b, float)))
         self._gt[idx] = np.asarray(gt, float).reshape(-1, 5)
         return idx
+
+    def compute_range(self, thresholds=None) -> float:
+        """COCO-style mAP averaged over IoU thresholds .5:.05:.95 —
+        an extension beyond the reference's single-threshold VOC AP."""
+        if thresholds is None:
+            thresholds = np.arange(0.5, 0.96, 0.05)
+        keep = self.iou
+        vals = []
+        try:
+            for t in thresholds:
+                # VOC matching uses strict >, COCO uses >=; subtract a hair.
+                self.iou = float(t) - 1e-9
+                aps = self.compute()
+                vals.append(np.mean(list(aps.values())) if aps else 0.0)
+        finally:
+            self.iou = keep
+        return float(np.mean(vals))
 
     def compute(self) -> Dict[int, float]:
         aps: Dict[int, float] = {}
