@@ -49,8 +49,12 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
     @jax.jit
     def infer(variables, images):
         outs = model.apply(variables, images, False)
+        # use_pallas=False: the XLA NMS path benches identically to the
+        # fused Pallas kernel (see README) and compiles several times
+        # faster on the remote-compile backend.
         res = detect_batch(
-            outs, anchors, num_classes=20, image_hw=image_hw, score_threshold=0.3
+            outs, anchors, num_classes=20, image_hw=image_hw,
+            score_threshold=0.3, use_pallas=False,
         )
         # Feed a scalar of the result back into the next input so each
         # iteration depends on the previous one — otherwise an async /

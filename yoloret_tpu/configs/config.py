@@ -99,6 +99,8 @@ class RunConfig:
     seed: int = 0
     bf16: bool = True
     mesh_data: Optional[int] = None  # data-parallel size; default all devices
+    multihost: bool = False  # call jax.distributed.initialize() (DCN multi-
+    # host; coordinator from env: JAX_COORDINATOR_ADDRESS etc.)
     quantize: bool = False
     prune: bool = False
     export: Optional[str] = None

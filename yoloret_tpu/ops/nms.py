@@ -43,7 +43,7 @@ def class_aware_nms(
     max_det_per_class: int = 20,
     iou_threshold: float = 0.5,
     score_threshold: float = 0.6,
-    num_candidates: int = 512,
+    num_candidates: int = 256,
     approx_topk: bool = True,
 ) -> NMSResult:
     """Per-class greedy NMS over a shared box list (single image).
@@ -60,8 +60,8 @@ def class_aware_nms(
       approx_topk: use ``jax.lax.approx_max_k`` for candidate selection —
         the TPU-native partial-reduce top-k (much cheaper than the full
         sort ``lax.top_k`` lowers to). Recall target 0.95 over a pool
-        2.5x deeper than the per-class detection cap, so misses are
-        far-down candidates that NMS would almost surely suppress.
+        many times deeper than the per-class detection cap, so misses
+        are far-down candidates NMS would almost surely suppress.
         Lowers to exact top-k on CPU.
 
     Returns:

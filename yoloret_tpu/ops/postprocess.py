@@ -86,7 +86,7 @@ def detect(
     max_det_per_class: int = 20,
     score_threshold: float = 0.6,
     iou_threshold: float = 0.5,
-    num_candidates: int = 512,
+    num_candidates: int = 256,
     zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
 ) -> NMSResult:
     """Single-image postprocess (unbatched head outputs)."""
@@ -112,7 +112,7 @@ def detect_batch(
     max_det_per_class: int = 20,
     score_threshold: float = 0.6,
     iou_threshold: float = 0.5,
-    num_candidates: int = 512,
+    num_candidates: int = 256,
     zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
     use_pallas: Optional[bool] = None,
 ) -> NMSResult:

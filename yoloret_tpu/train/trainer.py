@@ -56,6 +56,11 @@ def train(cfg: RunConfig) -> str:
     epochs = cfg.epochs[0] if cfg.freeze else cfg.epochs[1]
     lr = cfg.learning_rate[0] if cfg.freeze else cfg.learning_rate[1]
 
+    if cfg.multihost:
+        # Multi-host DP over DCN: same mesh code, devices span all hosts
+        # (replaces the reference's TPUClusterResolver path,
+        # code/train.py:48-53).
+        jax.distributed.initialize()
     mesh = make_mesh(data=cfg.mesh_data)
     n_data = mesh.shape["data"]
     global_batch = cfg.batch_size * n_data  # reference train.py:56
