@@ -169,17 +169,19 @@ def train(cfg: RunConfig) -> str:
     train_iter = device_prefetch(train_ds.build(epochs=None), data_shard, size=2)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        running = 0.0
+        # Keep losses as device scalars — a float() per step would force a
+        # sync and serialize the input pipeline against the device.
+        losses = []
         for bstep in range(steps_per_epoch):
             batch = next(train_iter)
             state, m = jit_train(state, batch, step_rng)
-            running += float(m["loss"])
+            losses.append(m["loss"])
             if (bstep + 1) % 50 == 0:  # reference yolo3/train.py:72-73
                 print(
                     f"epoch {epoch} step {bstep + 1}/{steps_per_epoch} "
-                    f"loss {running / (bstep + 1):.4f}"
+                    f"loss {float(losses[-1]):.4f}"
                 )
-        train_loss = running / steps_per_epoch
+        train_loss = float(jnp.mean(jnp.stack(losses)))
 
         val_loss = float("nan")
         if val_ds is not None:
