@@ -73,6 +73,8 @@ class RunConfig:
     classes_path: Optional[str] = None
     anchors_path: Optional[str] = None
     max_boxes: int = 20
+    augment: Optional[dict] = None  # AugmentConfig field overrides (e.g.
+    # {"hue": 0.1, "min_scale": 0.5}); None = reference defaults
     # training (two-stage schedule, reference code/train.py:153-216)
     batch_size: int = 8  # per chip; global = batch_size * data-parallel size
     epochs: Tuple[int, int] = (100, 150)

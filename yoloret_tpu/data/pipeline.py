@@ -23,6 +23,7 @@ import enum
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -98,13 +99,19 @@ class Dataset:
     prefetch: int = 2
     seed: int = 0
     shuffle: Optional[bool] = None
+    augment_config: Optional[AugmentConfig] = None  # override augmentation
     augment: AugmentConfig = field(init=False)
 
     def __post_init__(self):
         self.staging = self.staging or max(self.input_hw)
         if self.shuffle is None:
             self.shuffle = self.mode == DatasetMode.TRAIN
-        self.augment = AugmentConfig(input_hw=self.input_hw, max_boxes=self.max_boxes)
+        if self.augment_config is not None:
+            self.augment = dataclasses.replace(
+                self.augment_config, input_hw=self.input_hw, max_boxes=self.max_boxes
+            )
+        else:
+            self.augment = AugmentConfig(input_hw=self.input_hw, max_boxes=self.max_boxes)
         # Mixed text-list / TFRecord globs, like the reference
         # (code/yolo3/data.py:185-200).
         import glob as globlib

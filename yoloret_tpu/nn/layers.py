@@ -240,6 +240,7 @@ class MBConv(nn.Module):
     drop_connect_rate: float = 0.0
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
+    spatial_attention: bool = False  # MBConvBlockSpatial variant
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,7 +258,9 @@ class MBConv(nn.Module):
             bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon,
             dtype=self.dtype, name="depthwise",
         )(x, train)
-        if self.se_ratio is not None and 0.0 < self.se_ratio <= 1.0:
+        if self.spatial_attention:
+            x = SpatialAttention(dtype=self.dtype, name="spatial")(x)
+        elif self.se_ratio is not None and 0.0 < self.se_ratio <= 1.0:
             x = SqueezeExcite(
                 reduced=max(1, int(self.input_filters * self.se_ratio)),
                 features=filters,
@@ -278,6 +281,36 @@ class MBConv(nn.Module):
                 x = DropConnect(self.drop_connect_rate, name="drop")(x, train)
             x = x + inputs
         return x
+
+
+class SpatialAttention(nn.Module):
+    """Spatial-attention gate — the reference's experimental
+    ``SpatialBlock`` (code/yolo3/efficientnet.py:440-465, defined but off
+    the main path): 1x1 conv to a single map, resize to <=20x20, two
+    dense layers (swish then sigmoid), resize back, multiply.
+
+    Available for the ``MBConv(spatial_attention=True)`` variant
+    (``MBConvBlockSpatial``, efficientnet.py:538-609); the shipped
+    detector configs do not use it, matching the reference.
+    """
+
+    pool_hw: int = 20
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        nh, nw = min(self.pool_hw, h), min(self.pool_hw, w)
+        hidden = (nh * nh) // 4
+        s = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype, name="squeeze")(x)
+        s = jax.image.resize(s, (b, nh, nw, 1), method="bilinear")
+        s = s.reshape(b, nh * nw)
+        s = nn.Dense(hidden, use_bias=True, dtype=self.dtype, name="reduce")(s)
+        s = swish(s)
+        s = nn.Dense(nh * nw, use_bias=True, dtype=self.dtype, name="expand")(s)
+        s = jax.nn.sigmoid(s).reshape(b, nh, nw, 1)
+        s = jax.image.resize(s, (b, h, w, 1), method="bilinear")
+        return x * s
 
 
 def maxpool_downsample(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:

@@ -68,6 +68,12 @@ def run(epochs: int = 30, size: int = 96, batch: int = 8, threshold: float = 0.8
         epochs=(epochs, epochs),
         learning_rate=(2e-3, 2e-3),  # stage-2 lr applies (freeze=False)
         freeze=False,  # train everything: random init, no ImageNet here
+        # Gentle augmentation: the synthetic classes are COLORS, so the
+        # reference's hue +-0.5 would swap the labels; objectness also
+        # needs hundreds of steps at this scale, so keep geometry mild.
+        augment={"hue": 0.0, "sat": 0.2, "jitter": 0.1,
+                 "min_scale": 0.8, "max_scale": 1.2,
+                 "min_gamma": 0.9, "max_gamma": 1.2},
         bf16=False,
         mesh_data=1,
         checkpoint_every=0 or 10**9,  # no periodic ckpt in the self-check

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from yoloret_tpu.ops.boxes import pairwise_iou
@@ -43,6 +44,23 @@ def _bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def sigmoid_focal_crossentropy(
+    labels: jnp.ndarray,
+    logits: jnp.ndarray,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jnp.ndarray:
+    """RetinaNet focal loss on logits — the reference defines this helper
+    (code/yolo3/model.py:528-583) and keeps the class-loss call commented
+    out (:660-661); here it is a working option (``class_loss='focal'``)."""
+    ce = _bce_logits(logits, labels)
+    p = jax.nn.sigmoid(logits)
+    p_t = labels * p + (1.0 - labels) * (1.0 - p)
+    alpha_factor = labels * alpha + (1.0 - labels) * (1.0 - alpha) if alpha else 1.0
+    modulating = (1.0 - p_t) ** gamma if gamma else 1.0
+    return alpha_factor * modulating * ce
+
+
 def yolo_loss_per_scale(
     yolo_output: jnp.ndarray,
     y_true: jnp.ndarray,
@@ -52,6 +70,7 @@ def yolo_loss_per_scale(
     grid_step: int,
     ignore_thresh: float = 0.5,
     box_loss: str = "giou",
+    class_loss_kind: str = "bce",
 ) -> LossBreakdown:
     """Loss for ONE detection scale.
 
@@ -95,7 +114,11 @@ def yolo_loss_per_scale(
     confidence_loss = object_mask * obj_bce + (1.0 - object_mask) * obj_bce * ignore_mask
     confidence_loss = jnp.sum(confidence_loss) / bf
 
-    class_loss = object_mask * _bce_logits(yolo_output[..., 5:], true_class_probs)
+    if class_loss_kind == "focal":
+        cls_term = sigmoid_focal_crossentropy(true_class_probs, yolo_output[..., 5:])
+    else:
+        cls_term = _bce_logits(yolo_output[..., 5:], true_class_probs)
+    class_loss = object_mask * cls_term
     class_loss = jnp.sum(class_loss) / bf
 
     if box_loss == "giou":
@@ -132,6 +155,7 @@ def yolo_loss(
     num_scales: int = 3,
     ignore_thresh: float = 0.5,
     box_loss: str = "giou",
+    class_loss_kind: str = "bce",
 ) -> Tuple[jnp.ndarray, Tuple[LossBreakdown, ...]]:
     """Sum of per-scale losses, as the reference's AdvLossModel does
     (reference: code/yolo3/train.py:11-16). ``anchors`` is the full [9, 2]
@@ -150,6 +174,7 @@ def yolo_loss(
             GRID_STEPS[l],
             ignore_thresh=ignore_thresh,
             box_loss=box_loss,
+            class_loss_kind=class_loss_kind,
         )
         parts.append(part)
         total = total + part.total

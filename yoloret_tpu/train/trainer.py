@@ -70,10 +70,15 @@ def train(cfg: RunConfig) -> str:
     os.makedirs(log_dir, exist_ok=True)
     metrics_path = os.path.join(log_dir, "metrics.jsonl")
 
+    aug_override = None
+    if cfg.augment:
+        from yoloret_tpu.data import AugmentConfig
+
+        aug_override = AugmentConfig(**cfg.augment)
     train_ds = Dataset(
         cfg.train_dataset, global_batch, anchors, num_classes,
         input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
-        max_boxes=cfg.max_boxes, seed=cfg.seed,
+        max_boxes=cfg.max_boxes, seed=cfg.seed, augment_config=aug_override,
     )
     val_ds = None
     if cfg.val_dataset:
