@@ -130,6 +130,33 @@ def test_parse_voc_xml(tmp_path):
     assert len(boxes2) == 2
 
 
+def test_voc_to_tfrecords_round_trip(tmp_path, rng):
+    from PIL import Image
+
+    from yoloret_tpu.tools.voc import voc_to_tfrecords
+
+    # two images + a text list
+    lines = []
+    for i in range(3):
+        arr = (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"im{i}.jpg"
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} 6,8,30,24,{i % 2}")
+    ann = tmp_path / "list_3.txt"
+    ann.write_text("\n".join(lines) + "\n")
+    shards = voc_to_tfrecords(str(ann), str(tmp_path / "out"), shard_size=2)
+    assert len(shards) == 2  # 3 examples, shard_size 2
+
+    from yoloret_tpu.data.tfrecord import Example, read_tfrecords
+
+    exs = [Example.parse(r) for s in shards for r in read_tfrecords(s)]
+    assert len(exs) == 3
+    f = exs[0].features
+    assert f["image/encoded"][:2] == b"\xff\xd8"  # JPEG magic
+    np.testing.assert_allclose(f["image/object/bbox/xmin"], [6 / 60], atol=1e-6)
+    np.testing.assert_allclose(f["image/object/bbox/ymax"], [24 / 40], atol=1e-6)
+
+
 def test_voc_to_lists(tmp_path):
     ann = tmp_path / "ann"
     img = tmp_path / "img"

@@ -51,6 +51,10 @@ class AugmentConfig:
     min_gamma: float = 0.8
     max_gamma: float = 2.0
     contrast: float = 0.1
+    noise: float = 0.0  # additive uniform noise amplitude (reference
+    # utils.py:228-233; default off, matching get_random_data)
+    blur: bool = False  # 5x5 gaussian blur p=1 (reference utils.py:234-235
+    # random_blur; default off) — device-side depthwise conv here
     max_boxes: int = 20
 
 
@@ -97,7 +101,7 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 def _augment_one(image, boxes, valid, rng, cfg: AugmentConfig):
     h, w = float(cfg.input_hw[0]), float(cfg.input_hw[1])
     s = image.shape[0]  # staging square side
-    keys = jax.random.split(rng, 10)
+    keys = jax.random.split(rng, 11)
 
     # Geometry (reference :168-183).
     j = cfg.jitter
@@ -152,6 +156,18 @@ def _augment_one(image, boxes, valid, rng, cfg: AugmentConfig):
         f = u(9, 1 - cfg.contrast, 1 + cfg.contrast)
         mean = jnp.mean(out, axis=(0, 1), keepdims=True)
         out = (out - mean) * f + mean
+    if cfg.noise > 0:
+        out = out + jax.random.uniform(
+            keys[10], out.shape, jnp.float32, 0.0, cfg.noise
+        )
+    if cfg.blur:
+        g = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0])
+        kern = (g[:, None] * g[None, :]) / 256.0
+        kern = jnp.broadcast_to(kern[:, :, None, None], (5, 5, 1, 3))
+        out = jax.lax.conv_general_dilated(
+            out[None], kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3,
+        )[0]
     out = jnp.clip(out, 0.0, 1.0)
 
     # Clip boxes, drop degenerate, keep static shape (reference :249-289).

@@ -71,10 +71,35 @@ def write_anchors(path: str, anchors: np.ndarray) -> None:
         f.write(", ".join(parts) + "\n")
 
 
-def kmeans_anchors_cli(glob_pattern: str, out_path: str, k: int = 9, seed: int = 0):
+def plot_clusters(wh: np.ndarray, anchors: np.ndarray, out_png: str) -> None:
+    """Scatter of GT (w, h) with cluster centers, as the reference's
+    matplotlib figure (kmeans.py:120-129)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    sub = wh[np.random.RandomState(0).choice(len(wh), min(len(wh), 5000), replace=False)]
+    ax.scatter(sub[:, 0], sub[:, 1], s=2, alpha=0.3, label="boxes")
+    ax.scatter(anchors[:, 0], anchors[:, 1], s=80, c="red", marker="x", label="anchors")
+    ax.set_xlabel("width (px)")
+    ax.set_ylabel("height (px)")
+    ax.legend()
+    fig.savefig(out_png, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
+def kmeans_anchors_cli(
+    glob_pattern: str, out_path: str, k: int = 9, seed: int = 0,
+    plot_path: str | None = None,
+):
     wh = boxes_wh_from_lists(glob_pattern)
     anchors, acc = kmeans_anchors(wh, k=k, seed=seed)
     write_anchors(out_path, anchors)
     print(f"{len(wh)} boxes, K={k}, accuracy (avg IoU): {acc * 100:.2f}%")
     print(f"anchors -> {out_path}")
+    if plot_path:
+        plot_clusters(wh, anchors, plot_path)
+        print(f"cluster plot -> {plot_path}")
     return anchors, acc
