@@ -69,7 +69,23 @@ def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
     blob = exported.serialize()
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(blob)
-    save_params(os.path.join(out_dir, "weights"), variables)
+    if cfg.quantize:
+        # Real int8 weight quantization — the reference's --quantize is
+        # inert and TFLite's OPTIMIZE_FOR_SIZE does the equivalent
+        # weight compression (yolo.py:386-394).
+        from yoloret_tpu.export.quantize import quantize_tree
+
+        qparams, stats = quantize_tree(jax.device_get(variables["params"]))
+        save_params(
+            os.path.join(out_dir, "weights"),
+            {"params_int8": qparams, "batch_stats": variables["batch_stats"]},
+        )
+        print(
+            f"int8 weights: {stats['bytes_fp'] / 1e6:.2f} MB -> "
+            f"{stats['bytes_q'] / 1e6:.2f} MB"
+        )
+    else:
+        save_params(os.path.join(out_dir, "weights"), variables)
     meta = {
         "backbone": cfg.backbone,
         "input_size": list(cfg.input_size),
