@@ -45,6 +45,7 @@ class BACKBONE(enum.Enum):
     EFFICIENTNETB6 = "efficientnetb6"
     EFFICIENTNETB7 = "efficientnetb7"
     DARKNET53 = "darknet53"
+    YOLO_NANO = "yolo_nano"
     YOLO_FASTEST = "yolo_fastest"
 
 

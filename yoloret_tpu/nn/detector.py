@@ -30,6 +30,8 @@ BACKBONES = {
     "mobilenetv2x14": ("mobilenetv2", dict(alpha=1.4)),
     "mobilenetv2x10": ("mobilenetv2", dict(alpha=1.0)),
     "darknet53": ("darknet", dict()),
+    # complete legacy body (no RFCR/neck): reference model_computations.py
+    "yolo_nano": ("fullbody", dict()),
     **{f"efficientnetb{i}": ("efficientnet", dict(variant=f"b{i}")) for i in range(8)},
 }
 
@@ -47,12 +49,23 @@ class YoloReT(nn.Module):
 
     def setup(self):
         kind, kw = BACKBONES[self.backbone]
+        self._fullbody = kind == "fullbody"
         if kind == "mobilenetv2":
             self.body = MobileNetV2(dtype=self.dtype, **kw)
         elif kind == "darknet":
             from yoloret_tpu.nn.darknet import DarkNet53
 
             self.body = DarkNet53(dtype=self.dtype, **kw)
+        elif kind == "fullbody":
+            from yoloret_tpu.nn.legacy import YoloNano
+
+            self.body = YoloNano(
+                num_classes=self.num_classes,
+                num_anchors=self.num_anchors,
+                dtype=self.dtype,
+                **kw,
+            )
+            return
         else:
             self.body = EfficientNet(dtype=self.dtype, **kw)
         self.rfcr = RFCR(dtype=self.dtype)
@@ -81,6 +94,8 @@ class YoloReT(nn.Module):
             )
         if backbone_train is None:
             backbone_train = train
+        if self._fullbody:
+            return self.body(images, train)
         x = images.astype(self.dtype)
         feats = self.body(x, backbone_train)
         # Shallow tap is pooled x4 to the /16 scale before collection

@@ -30,8 +30,14 @@ from yoloret_tpu.nn.layers import (
 
 
 class RFCR(nn.Module):
+    """``fusion='weighted_sum'`` is the paper's RFCR; ``'concat'`` is the
+    proto-RFCR of the legacy scarf body (reference:
+    code/yolo3/model_computations.py:229-319 concatenates collected taps
+    instead of the learned WeightedSum)."""
+
     collect_channels: int = 48
     fuse_channels: int = 96
+    fusion: str = "weighted_sum"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -54,9 +60,11 @@ class RFCR(nn.Module):
         b3c = collect(b3, "collect_3")
         b4c = collect(b4, "collect_4")
 
-        bc = WeightedSum(4, name="fuse_weights")(
-            [upsample2x(b1c), b2c, maxpool_downsample(b3c), b4c]
-        )
+        collected = [upsample2x(b1c), b2c, maxpool_downsample(b3c), b4c]
+        if self.fusion == "concat":
+            bc = jnp.concatenate(collected, axis=-1)
+        else:
+            bc = WeightedSum(4, name="fuse_weights")(collected)
         bc = SeparableConvBN(
             self.fuse_channels, (5, 5), dtype=self.dtype, name="fuse_conv",
         )(bc, train)
