@@ -45,17 +45,21 @@ class YoloReT(nn.Module):
     backbone: str = "mobilenetv2x75"
     num_classes: int = 20
     num_anchors: int = 3
+    remat: bool = False  # rematerialize backbone activations in the
+    # backward pass (jax.checkpoint) — trades ~30% extra forward FLOPs
+    # for O(taps) instead of O(depth) activation memory at large batch
     dtype: Any = jnp.float32
 
     def setup(self):
         kind, kw = BACKBONES[self.backbone]
         self._fullbody = kind == "fullbody"
+        wrap = (lambda cls: nn.remat(cls, static_argnums=(2,))) if self.remat else (lambda cls: cls)
         if kind == "mobilenetv2":
-            self.body = MobileNetV2(dtype=self.dtype, **kw)
+            self.body = wrap(MobileNetV2)(dtype=self.dtype, **kw)
         elif kind == "darknet":
             from yoloret_tpu.nn.darknet import DarkNet53
 
-            self.body = DarkNet53(dtype=self.dtype, **kw)
+            self.body = wrap(DarkNet53)(dtype=self.dtype, **kw)
         elif kind == "fullbody":
             from yoloret_tpu.nn.legacy import YoloNano
 
@@ -67,7 +71,7 @@ class YoloReT(nn.Module):
             )
             return
         else:
-            self.body = EfficientNet(dtype=self.dtype, **kw)
+            self.body = wrap(EfficientNet)(dtype=self.dtype, **kw)
         self.rfcr = RFCR(dtype=self.dtype)
         self.neck = DetectionNeck(
             num_anchors=self.num_anchors,
@@ -118,6 +122,7 @@ def build_detector(
     num_classes: int = 20,
     num_anchors: int = 3,
     dtype: Any = jnp.float32,
+    remat: bool = False,
 ) -> YoloReT:
     if backbone not in BACKBONES:
         raise ValueError(f"unknown backbone {backbone!r}; options: {sorted(BACKBONES)}")
@@ -125,5 +130,6 @@ def build_detector(
         backbone=backbone,
         num_classes=num_classes,
         num_anchors=num_anchors,
+        remat=remat,
         dtype=dtype,
     )
