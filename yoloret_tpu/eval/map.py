@@ -142,11 +142,13 @@ def evaluate_map(
     nms_iou: float = 0.5,
     max_batches: Optional[int] = None,
     verbose: bool = True,
+    mesh=None,
 ) -> Tuple[float, Dict[int, float]]:
     """Run the model over an eval Dataset (data/pipeline.py, TEST mode)
     and return (mAP, per-class APs) — the ``--mode=MAP`` driver
     (reference: code/yolo.py:397-405). Prints per-image latency like the
-    reference (map.py:155-156)."""
+    reference (map.py:155-156). With ``mesh``, batches shard over the
+    ``data`` axis so evaluation scales across chips."""
     import jax
     import jax.numpy as jnp
 
@@ -154,6 +156,16 @@ def evaluate_map(
 
     num_classes = len(class_names)
     anchors_j = jnp.asarray(anchors, jnp.float32)
+
+    put = lambda x: x
+    if mesh is not None:
+        from yoloret_tpu.parallel import batch_sharding, replicate
+
+        data_shard = batch_sharding(mesh)
+        variables = jax.tree.map(
+            lambda x: jax.device_put(x, replicate(mesh)), variables
+        )
+        put = lambda x: jax.device_put(x, data_shard)
 
     @jax.jit
     def infer(variables, images, image_hw):
@@ -173,7 +185,7 @@ def evaluate_map(
     for bi, batch in enumerate(dataset.build(epochs=1)):
         if max_batches is not None and bi >= max_batches:
             break
-        res = infer(variables, batch["images"], batch["image_hw"])
+        res = infer(variables, put(batch["images"]), put(batch["image_hw"]))
         boxes = np.asarray(res.boxes)  # [B, M, 4] (ymin, xmin, ymax, xmax)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)
