@@ -128,7 +128,7 @@ def main(argv=None) -> int:
             backbone=cfg.backbone, weights=cfg.model,
             classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
-            iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
+            iou_threshold=cfg.nms_iou, bf16=cfg.bf16, use_ema=cfg.use_ema,
         )
         img, dets = pred.detect_image(cfg.image or _demo_image())
         out = cfg.output or "demo_out.png"
@@ -161,7 +161,7 @@ def main(argv=None) -> int:
         pred = Predictor(
             backbone=cfg.backbone, weights=cfg.model,
             class_names=class_names, anchors=anchors,
-            input_hw=cfg.input_size, bf16=cfg.bf16,
+            input_hw=cfg.input_size, bf16=cfg.bf16, use_ema=cfg.use_ema,
             score_threshold=0.0,  # reference sets score=0 for MAP, main.py:172
         )
         ds = Dataset(

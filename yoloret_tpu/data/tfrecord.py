@@ -43,8 +43,22 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def _best_crc32c(data: bytes) -> int:
+    """Hardware CRC32C via the native library when built (~1000x the
+    Python table loop), else the pure-Python fallback."""
+    try:
+        from yoloret_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            return int(lib.yt_crc32c(data, len(data)))
+    except Exception:
+        pass
+    return crc32c(data)
+
+
 def masked_crc(data: bytes) -> int:
-    crc = crc32c(data)
+    crc = _best_crc32c(data)
     return ((crc >> 15) | (crc << 17)) + 0xA282EAD8 & 0xFFFFFFFF
 
 
