@@ -22,7 +22,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
