@@ -3,6 +3,7 @@ from yoloret_tpu.parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    spatial_sharding,
 )
 from yoloret_tpu.parallel.prefetch import device_prefetch
 
@@ -11,5 +12,6 @@ __all__ = [
     "make_mesh",
     "replicate",
     "shard_batch",
+    "spatial_sharding",
     "device_prefetch",
 ]

@@ -49,6 +49,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard images [B, H, W, C] with batch over ``data`` AND height over
+    ``model`` — spatial parallelism for large inputs. GSPMD inserts the
+    conv halo exchanges automatically; use with ``model`` mesh size > 1.
+    (Beyond the reference, which is DP-only — SURVEY §2.3.)"""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     """Fully-replicated sharding (parameters, scalars)."""
     return NamedSharding(mesh, P())
