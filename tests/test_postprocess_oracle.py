@@ -1,0 +1,115 @@
+"""Whole-postprocess oracle: an independent pure-numpy implementation of
+the reference ``yolo_eval`` math (decode -> letterbox inverse ->
+per-class greedy NMS, code/yolo3/model.py:344-491) compared against the
+framework's fused on-device ``detect`` on random head outputs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yoloret_tpu.ops import detect
+
+ANCHORS = np.array(
+    [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45], [59, 119],
+     [116, 90], [156, 198], [373, 326]], np.float32,
+)
+MASKS = [[6, 7, 8], [3, 4, 5], [0, 1, 2]]
+
+
+def _sig(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def np_decode_all(outputs, input_hw, image_hw):
+    """boxes [N,4] (ymin,xmin,ymax,xmax) image px; scores [N,C]."""
+    H, W = input_hw
+    ih, iw = image_hw
+    all_boxes, all_scores = [], []
+    for l, feats in enumerate(outputs):
+        gh, gw, A, D = feats.shape
+        anc = ANCHORS[MASKS[l]]
+        gx, gy = np.meshgrid(np.arange(gw), np.arange(gh))
+        grid = np.stack([gx, gy], -1)[:, :, None, :]
+        xy = (_sig(feats[..., :2]) + grid) / np.array([gw, gh])
+        wh = np.exp(feats[..., 2:4]) * anc / np.array([W, H])
+        obj = _sig(feats[..., 4:5])
+        probs = _sig(feats[..., 5:])
+        # letterbox inverse (reference yolo_correct_boxes)
+        yx = xy[..., ::-1]
+        hw_ = wh[..., ::-1]
+        inp = np.array([H, W], np.float64)
+        img = np.array([ih, iw], np.float64)
+        ratio = img / img.max()
+        boxed = inp * ratio
+        off = (inp - boxed) / 2.0
+        scale = img / boxed
+        yx = (yx * inp - off) * scale
+        hw_ = hw_ * inp * scale
+        mins = yx - hw_ / 2
+        maxs = yx + hw_ / 2
+        boxes = np.concatenate(
+            [np.clip(mins[..., 0:1], 0, ih), np.clip(mins[..., 1:2], 0, iw),
+             np.clip(maxs[..., 0:1], 0, ih), np.clip(maxs[..., 1:2], 0, iw)], -1,
+        )
+        all_boxes.append(boxes.reshape(-1, 4))
+        all_scores.append((obj * probs).reshape(-1, probs.shape[-1]))
+    return np.concatenate(all_boxes), np.concatenate(all_scores)
+
+
+def np_iou(a, b):
+    ymin = np.maximum(a[0], b[:, 0]); xmin = np.maximum(a[1], b[:, 1])
+    ymax = np.minimum(a[2], b[:, 2]); xmax = np.minimum(a[3], b[:, 3])
+    inter = np.maximum(0, ymax - ymin) * np.maximum(0, xmax - xmin)
+    area = lambda v: np.maximum(0, v[..., 2] - v[..., 0]) * np.maximum(0, v[..., 3] - v[..., 1])
+    union = area(a) + area(b) - inter
+    return np.where(union > 0, inter / np.where(union > 0, union, 1), 0)
+
+
+def np_nms(boxes, scores, score_thresh, iou_thresh, max_det):
+    """Per-class greedy NMS (tf.image.non_max_suppression semantics)."""
+    out = []
+    for c in range(scores.shape[1]):
+        s = scores[:, c].copy()
+        s[s < score_thresh] = -np.inf
+        picked = []
+        while len(picked) < max_det and np.isfinite(s).any() and s.max() > -np.inf:
+            i = int(np.argmax(s))
+            picked.append((c, float(s[i]), boxes[i].copy()))
+            ious = np_iou(boxes[i], boxes)
+            s[ious > iou_thresh] = -np.inf
+            s[i] = -np.inf
+        out.extend(picked)
+    return out
+
+
+def test_detect_matches_numpy_oracle(rng):
+    H = W = 96
+    outputs = [
+        (rng.randn(H // s, W // s, 3, 5 + 4) * 1.5).astype(np.float32)
+        for s in (32, 16, 8)
+    ]
+    image_hw = (150.0, 200.0)
+    res = detect(
+        [jnp.asarray(o) for o in outputs], jnp.asarray(ANCHORS), 4,
+        jnp.asarray(image_hw, jnp.float32),
+        score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10,
+        num_candidates=1008,  # cover ALL candidates: exactness vs oracle
+    )
+    got = [
+        (int(c), float(s), np.asarray(b))
+        for b, s, c, v in zip(
+            np.asarray(res.boxes), np.asarray(res.scores),
+            np.asarray(res.classes), np.asarray(res.valid),
+        )
+        if v
+    ]
+    boxes_np, scores_np = np_decode_all(outputs, (H, W), image_hw)
+    want = np_nms(boxes_np, scores_np, 0.3, 0.5, 10)
+
+    assert len(got) == len(want), (len(got), len(want))
+    got.sort(key=lambda t: (t[0], -t[1]))
+    want.sort(key=lambda t: (t[0], -t[1]))
+    for (gc, gs, gb), (wc, ws, wb) in zip(got, want):
+        assert gc == wc
+        assert gs == pytest.approx(ws, rel=1e-4)
+        np.testing.assert_allclose(gb, wb, atol=1e-2)
