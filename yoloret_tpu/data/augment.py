@@ -181,16 +181,26 @@ def _augment_one(image, boxes, valid, rng, cfg: AugmentConfig):
     return out, new_boxes, keep
 
 
+def _to_unit_float(images: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] or float [0,1] -> f32 [0,1] ON DEVICE. Feeding uint8
+    quarters host->device transfer (important over PCIe and vital over a
+    tunneled chip)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def augment_batch(
-    images: jnp.ndarray,  # [B, S, S, 3] staging, f32 in [0, 1]
+    images: jnp.ndarray,  # [B, S, S, 3] staging, uint8 or f32 in [0, 1]
     boxes: jnp.ndarray,  # [B, T, 5] (x1, y1, x2, y2, cls) normalized to orig
     valid: jnp.ndarray,  # [B, T] bool
     rng: jax.Array,
     cfg: AugmentConfig,
 ):
-    """Returns (images [B, H, W, 3], boxes [B, T, 5] in output pixels,
+    """Returns (images [B, H, W, 3] f32, boxes [B, T, 5] in output pixels,
     valid [B, T])."""
+    images = _to_unit_float(images)
     rngs = jax.random.split(rng, images.shape[0])
     return jax.vmap(lambda i, b, v, r: _augment_one(i, b, v, r, cfg))(
         images, boxes, valid, rngs
@@ -227,12 +237,13 @@ def _eval_one(image, boxes, valid, image_hw, cfg: AugmentConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_batch(
-    images: jnp.ndarray,
+    images: jnp.ndarray,  # uint8 or f32
     boxes: jnp.ndarray,
     valid: jnp.ndarray,
     image_hw: jnp.ndarray,  # [B, 2] original (H, W) floats
     cfg: AugmentConfig,
 ):
+    images = _to_unit_float(images)
     return jax.vmap(lambda i, b, v, s: _eval_one(i, b, v, s, cfg))(
         images, boxes, valid, image_hw
     )

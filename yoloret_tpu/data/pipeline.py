@@ -47,14 +47,15 @@ def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int
     reference augmentation with no device equivalent,
     code/yolo3/utils.py:225-227) -> stretch to staging square.
 
-    Uses the native libjpeg loader (yoloret_tpu/native) when built —
-    fused decode+resize+normalize, no GIL — and falls back to PIL."""
+    Returns UINT8 [S, S, 3] (normalization happens on device: feeding
+    uint8 quarters the host->device transfer). Uses the native libjpeg
+    loader (yoloret_tpu/native) when built; PIL fallback."""
     from yoloret_tpu import native
 
     use_native = native.available()
     if use_native and jpeg_quality is None and path.lower().endswith((".jpg", ".jpeg")):
         try:
-            img, (ih, iw) = native.decode_resize(path, staging)
+            img, (ih, iw) = native.decode_resize_u8(path, staging)
             return img, (ih, iw)
         except IOError:
             pass  # fall through to PIL (e.g. mislabeled PNG)
@@ -70,14 +71,14 @@ def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int
         img.save(buf, format="JPEG", quality=q)
         if use_native:
             try:
-                out, _ = native.decode_resize_bytes(buf.getvalue(), staging)
+                out, _ = native.decode_resize_bytes_u8(buf.getvalue(), staging)
                 return out, (ih, iw)
             except IOError:
                 pass
         buf.seek(0)
         img = Image.open(buf).convert("RGB")
     img = img.resize((staging, staging), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 255.0, (ih, iw)
+    return np.asarray(img, np.uint8), (ih, iw)
 
 
 @dataclass
@@ -184,8 +185,8 @@ class Dataset:
             pil = Image.open(io.BytesIO(raw)).convert("RGB")
             iw, ih = pil.size
             img = np.asarray(
-                pil.resize((self.staging, self.staging), Image.BILINEAR), np.float32
-            ) / 255.0
+                pil.resize((self.staging, self.staging), Image.BILINEAR), np.uint8
+            )
             xmin = np.asarray(f.get("image/object/bbox/xmin", []), np.float32)
             ymin = np.asarray(f.get("image/object/bbox/ymin", []), np.float32)
             xmax = np.asarray(f.get("image/object/bbox/xmax", []), np.float32)

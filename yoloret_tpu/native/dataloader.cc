@@ -164,6 +164,38 @@ int yt_decode_resize_mem(const uint8_t* data, uint64_t len, int staging,
   return 0;
 }
 
+// uint8 output variant: same decode+resize, no normalization — feeding
+// uint8 to the accelerator quarters host->device transfer.
+int yt_decode_resize_mem_u8(const uint8_t* data, uint64_t len, int staging,
+                            uint8_t* out, int* orig_h, int* orig_w) {
+  std::vector<float> tmp((size_t)staging * staging * 3);
+  int rc = yt_decode_resize_mem(data, len, staging, tmp.data(), orig_h, orig_w);
+  if (rc != 0) return rc;
+  const size_t n = (size_t)staging * staging * 3;
+  for (size_t i = 0; i < n; ++i) {
+    float v = tmp[i] * 255.0f + 0.5f;
+    out[i] = v <= 0.f ? 0 : (v >= 255.f ? 255 : (uint8_t)v);
+  }
+  return 0;
+}
+
+int yt_decode_resize_file_u8(const char* path, int staging, uint8_t* out,
+                             int* orig_h, int* orig_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 3;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)n);
+  if (fread(buf.data(), 1, (size_t)n, f) != (size_t)n) {
+    fclose(f);
+    return 4;
+  }
+  fclose(f);
+  return yt_decode_resize_mem_u8(buf.data(), (uint64_t)n, staging, out,
+                                 orig_h, orig_w);
+}
+
 int yt_decode_resize_file(const char* path, int staging, float* out,
                           int* orig_h, int* orig_w) {
   FILE* f = fopen(path, "rb");
