@@ -21,7 +21,8 @@ import numpy as np
 
 from yoloret_tpu.data.annotations import load_anchors, load_classes
 from yoloret_tpu.nn import build_detector
-from yoloret_tpu.ops import detect_batch, letterbox_numpy
+from yoloret_tpu.ops import detect_batch
+from yoloret_tpu.ops.letterbox import letterbox_numpy_u8
 from yoloret_tpu.utils.checkpoint import load_params
 
 
@@ -89,6 +90,8 @@ class Predictor:
 
         @jax.jit
         def _infer(variables, images, image_hw):
+            # images arrive uint8 (4x smaller transfer); normalize on device
+            images = images.astype(jnp.float32) * (1.0 / 255.0)
             outs = self.model.apply(variables, images, False)
             zoom_outs = None
             if zoom_ensemble:
@@ -117,13 +120,7 @@ class Predictor:
         """images: list of HWC uint8/float RGB arrays (any sizes)."""
         batch = len(images)
         lb = np.stack(
-            [
-                letterbox_numpy(
-                    np.asarray(im, np.float32) / (255.0 if np.asarray(im).dtype == np.uint8 else 1.0),
-                    self.input_hw,
-                )
-                for im in images
-            ]
+            [letterbox_numpy_u8(np.asarray(im), self.input_hw) for im in images]
         )
         hw = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.float32)
         res = self._infer(self.variables, jnp.asarray(lb), jnp.asarray(hw))

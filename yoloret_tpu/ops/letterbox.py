@@ -50,6 +50,12 @@ def letterbox_jax(image: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
 def letterbox_numpy(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Host-side letterbox for uint8/float [H, W, 3] (PIL bilinear)."""
+    return letterbox_numpy_u8(image, out_hw).astype(np.float32) / 255.0
+
+
+def letterbox_numpy_u8(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Host-side letterbox returning UINT8 (4x smaller host->device
+    transfer; normalize on device)."""
     from PIL import Image
 
     ih, iw = image.shape[:2]
@@ -58,8 +64,8 @@ def letterbox_numpy(image: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     if src.dtype != np.uint8:
         src = np.clip(src * 255.0, 0, 255).astype(np.uint8)
     resized = np.asarray(
-        Image.fromarray(src).resize((nw, nh), Image.BILINEAR), dtype=np.float32
-    ) / 255.0
-    canvas = np.zeros((out_hw[0], out_hw[1], image.shape[-1]), np.float32)
+        Image.fromarray(src).resize((nw, nh), Image.BILINEAR), dtype=np.uint8
+    )
+    canvas = np.zeros((out_hw[0], out_hw[1], image.shape[-1]), np.uint8)
     canvas[dy : dy + nh, dx : dx + nw] = resized
     return canvas
