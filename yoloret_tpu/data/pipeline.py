@@ -200,18 +200,32 @@ class Dataset:
         rng = np.random.RandomState(self.seed)
         order = np.arange(len(self))
         epoch = 0
+        drop_last = self.mode == DatasetMode.TRAIN
         with ThreadPoolExecutor(self.num_workers) as pool:
             while epochs is None or epoch < epochs:
                 if self.shuffle:
                     rng.shuffle(order)
-                for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                for start in range(0, len(order), self.batch_size):
                     idxs = order[start : start + self.batch_size]
+                    n_valid = len(idxs)
+                    if n_valid < self.batch_size:
+                        if drop_last or n_valid == 0:
+                            break
+                        # eval: pad the final partial batch to the static
+                        # shape (padded rows flagged via n_valid so no
+                        # image is silently dropped from evaluation)
+                        idxs = np.concatenate(
+                            [idxs, np.repeat(idxs[-1:], self.batch_size - n_valid)]
+                        )
                     samples = list(pool.map(lambda i: self._load_sample(i, rng), idxs))
                     imgs = np.stack([s[0] for s in samples])
                     boxes = np.stack([s[1] for s in samples])
                     valid = np.stack([s[2] for s in samples])
                     hw = np.asarray([s[3] for s in samples], np.float32)
-                    yield {"images": imgs, "boxes": boxes, "valid": valid, "image_hw": hw}
+                    yield {
+                        "images": imgs, "boxes": boxes, "valid": valid,
+                        "image_hw": hw, "n_valid": n_valid,
+                    }
                 epoch += 1
 
     # -- device side ---------------------------------------------------------
@@ -263,6 +277,7 @@ class Dataset:
             "boxes_valid": valid,
             "orig_boxes": jnp.asarray(orig),
             "orig_valid": jnp.asarray(host["valid"]),
+            "n_valid": host["n_valid"],  # host int: real samples in batch
         }
         for l in range(self.num_scales):
             out[f"y_true_{l}"] = ys[l]

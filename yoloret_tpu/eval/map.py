@@ -192,7 +192,8 @@ def evaluate_map(
         valid = np.asarray(res.valid)
         gt = np.asarray(batch["orig_boxes"])
         gt_valid = np.asarray(batch["orig_valid"])
-        for i in range(boxes.shape[0]):
+        n_real = int(batch.get("n_valid", boxes.shape[0]))
+        for i in range(n_real):  # skip pad rows of the final partial batch
             m = valid[i]
             xyxy = boxes[i][m][:, [1, 0, 3, 2]]  # -> (x1, y1, x2, y2)
             ev.add_image(xyxy, scores[i][m], classes[i][m], gt[i][gt_valid[i]])

@@ -25,9 +25,14 @@ def device_prefetch(
     buf = collections.deque()
 
     def put(batch):
-        if sharding is None:
-            return jax.tree.map(jax.device_put, batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        def one(x):
+            if getattr(x, "ndim", 1) == 0 or isinstance(x, (int, float)):
+                return x  # host scalars (e.g. n_valid) stay host-side
+            if sharding is None:
+                return jax.device_put(x)
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(one, batch)
 
     try:
         for _ in range(size):

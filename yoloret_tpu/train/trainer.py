@@ -191,7 +191,11 @@ def train(cfg: RunConfig) -> str:
         val_loss = float("nan")
         if val_ds is not None:
             vtotal, vn = 0.0, 0
+            loss_keys = ("images", "gt_boxes", "gt_valid") + tuple(
+                f"y_true_{l}" for l in range(cfg.num_scales)
+            )
             for vbatch in device_prefetch(val_ds.build(epochs=1), data_shard, size=2):
+                vbatch = {k: vbatch[k] for k in loss_keys}
                 vtotal += float(jit_eval(state, vbatch)["val_loss"])
                 vn += 1
             val_loss = vtotal / max(vn, 1)
