@@ -168,3 +168,34 @@ def test_efficientnet_h5_import(tmp_path):
     assert float(np.asarray(s0["depthwise"]["dwconv"]["kernel"]).ravel()[0]) > 1.0
     # SE convs carry bias
     assert "bias" in s0["se"]["reduce"]
+
+
+def test_predictor_prefers_ema_weights(tmp_path):
+    """Predictor(use_ema=True) loads ema_params when the checkpoint has
+    them (reference EMA decay 0.9999, yolo3/train.py:42-45)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloret_tpu.infer import Predictor
+    from yoloret_tpu.utils.checkpoint import save_params
+
+    m_anchors = np.full((9, 2), 16.0, np.float32)
+    # build tiny detector weights, with ema = params * 2
+    from yoloret_tpu.nn import build_detector
+
+    det = build_detector("mobilenetv2x75", num_classes=1)
+    v = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+    ema = jax.tree.map(lambda x: x * 2.0, v["params"])
+    path = str(tmp_path / "w")
+    save_params(path, {"params": v["params"], "batch_stats": v["batch_stats"],
+                       "ema_params": ema})
+
+    p_raw = Predictor(class_names=["a"], anchors=m_anchors, input_hw=(64, 64),
+                      weights=path, use_ema=False, bf16=False)
+    p_ema = Predictor(class_names=["a"], anchors=m_anchors, input_hw=(64, 64),
+                      weights=path, use_ema=True, bf16=False)
+    k_raw = np.asarray(
+        p_raw.variables["params"]["body"]["stem"]["conv"]["kernel"])
+    k_ema = np.asarray(
+        p_ema.variables["params"]["body"]["stem"]["conv"]["kernel"])
+    np.testing.assert_allclose(k_ema, k_raw * 2.0, rtol=1e-6)
