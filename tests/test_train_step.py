@@ -103,8 +103,8 @@ def test_ema_tracks_params():
     step = jax.jit(partial(train_step, cfg=cfg))
     p0 = jax.tree.map(np.asarray, state.params)
     state, _ = step(state, batch, jax.random.PRNGKey(0))
-    # ema = 0.5*old + 0.5*new
-    expect = jax.tree.map(lambda o, n: 0.5 * o + 0.5 * np.asarray(n), p0, state.params)
+    # warmed-up decay at step 0: d = min(0.5, (1+0)/(10+0)) = 0.1
+    expect = jax.tree.map(lambda o, n: 0.1 * o + 0.9 * np.asarray(n), p0, state.params)
     for e, g in zip(jax.tree.leaves(expect), jax.tree.leaves(state.ema_params)):
         np.testing.assert_allclose(e, np.asarray(g), rtol=1e-5, atol=1e-7)
 

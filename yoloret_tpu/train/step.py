@@ -133,7 +133,12 @@ def train_step(
 
     new_ema = state.ema_params
     if new_ema is not None:
-        d = cfg.ema_decay
+        # Warmed-up decay: min(decay, (1+t)/(10+t)) — the num_updates
+        # schedule of tf.train.ExponentialMovingAverage. Without it a
+        # 0.9999 decay leaves the EMA dominated by the random init for
+        # the first ~30k steps.
+        t = state.step.astype(jnp.float32)
+        d = jnp.minimum(cfg.ema_decay, (1.0 + t) / (10.0 + t))
         new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params)
 
     metrics = {
