@@ -65,3 +65,15 @@ def test_prune_mode_reports(capsys):
 
 def test_video_requires_source(capsys):
     assert main(["--mode=VIDEO"]) == 2
+
+
+def test_explicit_flag_equal_to_default_beats_yaml(tmp_path):
+    """Regression: --batch_size 8 (the built-in default) must override a
+    YAML value; previously only flags differing from the default won."""
+    y = tmp_path / "c.yaml"
+    y.write_text("batch_size: 32\nfreeze: false\n")
+    cfg = args_to_config(build_parser().parse_args([f"--config={y}", "--batch_size=8"]))
+    assert cfg.batch_size == 8
+    assert cfg.freeze is False  # yaml survives where no flag given
+    cfg2 = args_to_config(build_parser().parse_args([f"--config={y}", "--freeze"]))
+    assert cfg2.freeze is True  # explicit --freeze beats yaml false

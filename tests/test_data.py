@@ -204,3 +204,27 @@ def test_pipeline_eval_batches(tiny_dataset):
     # eval path is deterministic: same batch twice
     b2 = next(ds.build(epochs=1))
     np.testing.assert_allclose(np.asarray(b["images"]), np.asarray(b2["images"]))
+
+
+def test_train_dataset_smaller_than_batch_raises(tiny_dataset):
+    with pytest.raises(ValueError, match="smaller|global batch|reduce"):
+        Dataset(tiny_dataset, batch_size=64, anchors=ANCHORS, num_classes=3,
+                input_hw=(64, 64))
+
+
+def test_brightness_augment_applies(rng):
+    cfg = AugmentConfig(
+        input_hw=(32, 32), min_scale=1.0, max_scale=1.0, jitter=0.0,
+        flip=False, hue=0.0, sat=0.0, min_gamma=1.0, max_gamma=1.0,
+        contrast=0.0, val=0.4,
+    )
+    img = np.full((1, 32, 32, 3), 0.5, np.float32)
+    boxes = np.zeros((1, 20, 5), np.float32)
+    valid = np.zeros((1, 20), bool)
+    shifted = False
+    for seed in range(4):
+        out, _, _ = augment_batch(jnp.asarray(img), jnp.asarray(boxes),
+                                  jnp.asarray(valid), jax.random.PRNGKey(seed), cfg)
+        if abs(float(out.mean()) - 0.5) > 0.02:
+            shifted = True
+    assert shifted, "val (brightness) augmentation had no effect"

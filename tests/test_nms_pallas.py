@@ -78,3 +78,26 @@ def test_fused_suppresses_overlaps(rng):
     res = fused_result(fb, fs)
     got = np.asarray(res.scores[0])[np.asarray(res.valid[0])]
     np.testing.assert_allclose(sorted(got, reverse=True), [0.9, 0.7], rtol=1e-6)
+
+
+def test_fused_pads_non_aligned_candidate_pool(rng):
+    """K not a multiple of 128 (e.g. the serving 64-pool) pads internally."""
+    boxes, scores = _problem(rng, b=1, n=200, c=3)
+    cls_boxes, cls_scores = _candidates(boxes, scores, 64)
+    fb, fs = nms_fused(
+        cls_boxes, cls_scores, max_det_per_class=5,
+        iou_threshold=0.5, score_threshold=0.3, interpret=True,
+    )
+    assert fb.shape == (1, 3, 5, 4)
+    res = fused_result(fb, fs)
+    # matches the lax path restricted to the same 64-candidate pool
+    r = class_aware_nms(
+        jnp.asarray(boxes[0]), jnp.asarray(scores[0]),
+        max_det_per_class=5, iou_threshold=0.5, score_threshold=0.3,
+        num_candidates=64, approx_topk=False,
+    )
+    np.testing.assert_allclose(
+        sorted(np.asarray(res.scores[0])[np.asarray(res.valid[0])]),
+        sorted(np.asarray(r.scores)[np.asarray(r.valid)]),
+        rtol=1e-5,
+    )

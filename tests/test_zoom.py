@@ -30,6 +30,27 @@ def test_zoom_doubles_candidates():
     assert sz.shape == (n_main + n_zoom, 20)
 
 
+def test_zoom_center_maps_to_center_on_finer_scales():
+    """Regression: zoom_hw must come from the COARSEST zoom grid; the
+    stride-16 and stride-8 zoom scales previously used grid*32 and
+    mapped to displaced coordinates."""
+    outs = _zero_outputs(416)
+    zouts = _zero_outputs(224)
+    hw = jnp.asarray([416.0, 416.0])
+    bz, _ = gather_boxes_and_scores(outs, ANCHORS, 20, hw, zoom_outputs=zouts)
+    n_main_s0 = (416 // 32) ** 2 * 3
+    n_zoom_s0 = (224 // 32) ** 2 * 3
+    n_main_s1 = (416 // 16) ** 2 * 3
+    # scale-1 zoom block: after [main s0][zoom s0][main s1]
+    start = n_main_s0 + n_zoom_s0 + n_main_s1
+    zoom_s1 = bz[start : start + (224 // 16) ** 2 * 3]
+    g = 224 // 16
+    center = np.asarray(zoom_s1.reshape(g, g, 3, 4)[g // 2, g // 2, 0])
+    cy = (center[0] + center[2]) / 2
+    cx = (center[1] + center[3]) / 2
+    np.testing.assert_allclose([cy, cx], [208.0, 208.0], atol=8.5)  # within one cell
+
+
 def test_zoom_center_maps_to_center():
     """A detection at the center of the zoom crop must land at the center
     of the primary frame: xy' = xy*(224/416) + (416-224)/(2*416)."""

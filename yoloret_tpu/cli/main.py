@@ -27,51 +27,56 @@ def _parse_size(v: str):
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="yoloret", description=__doc__)
+    # argument_default=SUPPRESS: an attribute exists ONLY when the flag
+    # was explicitly passed, so explicit flags always override YAML
+    # config values — even when equal to the built-in default.
+    p = argparse.ArgumentParser(
+        prog="yoloret", description=__doc__,
+        argument_default=argparse.SUPPRESS,
+    )
     d = RunConfig()
     p.add_argument("--mode", type=str, default="IMAGE",
                    help="TRAIN|IMAGE|VIDEO|MAP|ANCHORS|EXPORT|TFLITE|SERVING|TFJS")
     p.add_argument("--config", type=str, default=None, help="YAML config overlay")
-    p.add_argument("--backbone", type=str, default=d.backbone)
-    p.add_argument("--input_size", type=_parse_size, default=d.input_size,
+    p.add_argument("--backbone", type=str, help=f"default {d.backbone}")
+    p.add_argument("--input_size", type=_parse_size,
                    help="single int or 'h,w', multiples of 32")
-    p.add_argument("--num_scales", type=int, default=d.num_scales)
-    p.add_argument("--model", type=str, default=None, help="weights checkpoint")
-    p.add_argument("--train_dataset", type=str, default=None)
-    p.add_argument("--val_dataset", type=str, default=None)
-    p.add_argument("--test_dataset", type=str, default=None)
-    p.add_argument("--classes_path", type=str, default=None)
-    p.add_argument("--anchors_path", type=str, default=None)
-    p.add_argument("--batch_size", type=int, default=d.batch_size,
+    p.add_argument("--num_scales", type=int)
+    p.add_argument("--model", type=str, help="weights checkpoint")
+    p.add_argument("--train_dataset", type=str)
+    p.add_argument("--val_dataset", type=str)
+    p.add_argument("--test_dataset", type=str)
+    p.add_argument("--classes_path", type=str)
+    p.add_argument("--anchors_path", type=str)
+    p.add_argument("--batch_size", type=int,
                    help="per-chip; global = batch_size * data-parallel size")
-    p.add_argument("--epochs", type=int, nargs=2, default=list(d.epochs),
-                   metavar=("STAGE1", "STAGE2"))
-    p.add_argument("--learning_rate", type=float, nargs=2,
-                   default=list(d.learning_rate), metavar=("LR1", "LR2"))
-    p.add_argument("--freeze", action="store_true", default=True)
+    p.add_argument("--epochs", type=int, nargs=2, metavar=("STAGE1", "STAGE2"))
+    p.add_argument("--learning_rate", type=float, nargs=2, metavar=("LR1", "LR2"))
+    p.add_argument("--freeze", action="store_true")
     p.add_argument("--no-freeze", dest="freeze", action="store_false")
-    p.add_argument("--train_unfreeze", type=str, default=None,
+    p.add_argument("--train_unfreeze", type=str,
                    help="stage-1 weights; implies stage 2 (unfrozen)")
-    p.add_argument("--box_loss", type=str, default=d.box_loss, choices=["giou", "mse"])
+    p.add_argument("--box_loss", type=str, choices=["giou", "mse"])
+    p.add_argument("--class_loss", type=str, choices=["bce", "focal"])
     p.add_argument("--use_adv", action="store_true")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest periodic checkpoint (with optimizer state) and continue")
-    p.add_argument("--truncate_block", type=float, default=None,
+    p.add_argument("--truncate_block", type=float,
                    help="freeze only backbone blocks up to this depth index "
                         "(truncated-transfer study); default: whole backbone")
-    p.add_argument("--score", dest="score_threshold", type=float, default=d.score_threshold)
-    p.add_argument("--nms_iou", type=float, default=d.nms_iou)
-    p.add_argument("--log_dir", type=str, default=d.log_dir)
-    p.add_argument("--opt", type=str, default=None, choices=["XLA", "DEBUG", "MKL"])
-    p.add_argument("--seed", type=int, default=d.seed)
-    p.add_argument("--no-bf16", dest="bf16", action="store_false", default=True)
-    p.add_argument("--mesh_data", type=int, default=None,
+    p.add_argument("--score", dest="score_threshold", type=float)
+    p.add_argument("--nms_iou", type=float)
+    p.add_argument("--log_dir", type=str)
+    p.add_argument("--opt", type=str, choices=["XLA", "DEBUG", "MKL"])
+    p.add_argument("--seed", type=int)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--mesh_data", type=int,
                    help="data-parallel degree (default: all devices)")
-    p.add_argument("--export", type=str, default=None, help="export output dir")
-    p.add_argument("--image", type=str, default=None, help="image path (IMAGE mode)")
-    p.add_argument("--video", type=str, default=None, help="video path or 0 (VIDEO mode)")
-    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--export", type=str, help="export output dir")
+    p.add_argument("--image", type=str, help="image path (IMAGE mode)")
+    p.add_argument("--video", type=str, help="video path or 0 (VIDEO mode)")
+    p.add_argument("--output", type=str)
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--prune", action="store_true")
     return p
@@ -79,24 +84,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def args_to_config(args) -> RunConfig:
     cfg = RunConfig()
-    if args.config:
+    if getattr(args, "config", None):
         cfg = load_config(args.config, cfg)
     overrides = {}
-    defaults = RunConfig()
     for f in (
         "backbone input_size num_scales model train_dataset val_dataset "
-        "test_dataset classes_path anchors_path batch_size box_loss use_adv "
+        "test_dataset classes_path anchors_path batch_size box_loss class_loss use_adv "
         "use_ema resume truncate_block score_threshold nms_iou log_dir opt seed "
         "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"
     ).split():
-        v = getattr(args, f)
-        if v != getattr(defaults, f):
-            overrides[f] = v
-    if tuple(args.epochs) != defaults.epochs:
+        if hasattr(args, f):
+            overrides[f] = getattr(args, f)
+    if hasattr(args, "epochs"):
         overrides["epochs"] = tuple(args.epochs)
-    if tuple(args.learning_rate) != defaults.learning_rate:
+    if hasattr(args, "learning_rate"):
         overrides["learning_rate"] = tuple(args.learning_rate)
-    if args.train_unfreeze:
+    if getattr(args, "train_unfreeze", None) and "freeze" not in overrides:
         overrides["freeze"] = False
     return cfg.replace(**overrides)
 

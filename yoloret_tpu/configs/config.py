@@ -86,6 +86,8 @@ class RunConfig:
     # <= this depth index (the paper's truncation-point study); None
     # freezes the whole backbone in stage 1 (reference main configs)
     box_loss: str = "giou"
+    class_loss: str = "bce"  # or "focal" (the reference defines focal but
+    # leaves it commented out, model.py:660-661)
     ignore_thresh: float = 0.5
     use_adv: bool = False
     use_ema: bool = False

@@ -101,7 +101,7 @@ def hsv_to_rgb(hsv: jnp.ndarray) -> jnp.ndarray:
 def _augment_one(image, boxes, valid, rng, cfg: AugmentConfig):
     h, w = float(cfg.input_hw[0]), float(cfg.input_hw[1])
     s = image.shape[0]  # staging square side
-    keys = jax.random.split(rng, 11)
+    keys = jax.random.split(rng, 12)
 
     # Geometry (reference :168-183).
     j = cfg.jitter
@@ -150,6 +150,10 @@ def _augment_one(image, boxes, valid, rng, cfg: AugmentConfig):
         if cfg.sat > 0:
             ss = jnp.clip(ss * u(7, 1 - cfg.sat, 1 + cfg.sat), 0.0, 1.0)
         out = hsv_to_rgb(jnp.stack([hh, ss, vv], axis=-1))
+    if cfg.val > 0:
+        # additive brightness delta in [-val, val] (tf.image.random_brightness,
+        # reference utils.py:219-220; default off)
+        out = out + u(11, -cfg.val, cfg.val)
     if cfg.min_gamma < cfg.max_gamma:
         out = jnp.clip(out, 0.0, 1.0) ** u(8, cfg.min_gamma, cfg.max_gamma)
     if cfg.contrast > 0:

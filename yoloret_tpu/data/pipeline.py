@@ -42,10 +42,10 @@ class DatasetMode(enum.Enum):
     TEST = "test"
 
 
-def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int]], rng):
-    """JPEG decode -> optional re-encode (random JPEG quality, the one
-    reference augmentation with no device equivalent,
-    code/yolo3/utils.py:225-227) -> stretch to staging square.
+def _decode_image(path: str, staging: int, quality: Optional[int], rng=None):
+    """JPEG decode -> optional re-encode at ``quality`` (the random-JPEG-
+    quality augmentation, code/yolo3/utils.py:225-227; the draw happens
+    in the producer thread) -> stretch to staging square.
 
     Returns UINT8 [S, S, 3] (normalization happens on device: feeding
     uint8 quarters the host->device transfer). Uses the native libjpeg
@@ -53,7 +53,7 @@ def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int
     from yoloret_tpu import native
 
     use_native = native.available()
-    if use_native and jpeg_quality is None and path.lower().endswith((".jpg", ".jpeg")):
+    if use_native and quality is None and path.lower().endswith((".jpg", ".jpeg")):
         try:
             img, (ih, iw) = native.decode_resize_u8(path, staging)
             return img, (ih, iw)
@@ -65,10 +65,9 @@ def _decode_image(path: str, staging: int, jpeg_quality: Optional[Tuple[int, int
 
     img = Image.open(path).convert("RGB")
     iw, ih = img.size
-    if jpeg_quality is not None:
-        q = int(rng.randint(jpeg_quality[0], jpeg_quality[1] + 1))
+    if quality is not None:
         buf = io.BytesIO()
-        img.save(buf, format="JPEG", quality=q)
+        img.save(buf, format="JPEG", quality=int(quality))
         if use_native:
             try:
                 out, _ = native.decode_resize_bytes_u8(buf.getvalue(), staging)
@@ -140,6 +139,14 @@ class Dataset:
                 for off, ln in index_tfrecord(rf):
                     self._records.append((rf, off, ln))
         self.size = len(self._parsed) + len(self._records)
+        if self.mode == DatasetMode.TRAIN and self.size < self.batch_size:
+            # drop-last training would otherwise yield ZERO batches and the
+            # trainer would block forever on an empty prefetch queue
+            raise ValueError(
+                f"training dataset has {self.size} samples but the global "
+                f"batch is {self.batch_size}; reduce --batch_size or the "
+                f"data-parallel degree"
+            )
 
     def __len__(self) -> int:
         return len(self._parsed) + len(self._records)
@@ -159,11 +166,12 @@ class Dataset:
         valid[:n] = True
         return out, valid
 
-    def _load_sample(self, idx: int, rng) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
-        jq = self.jpeg_quality if self.mode == DatasetMode.TRAIN else None
+    def _load_sample(self, idx: int, jq_value: Optional[int]) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+        """``jq_value``: pre-drawn JPEG re-encode quality (drawn in the
+        producer thread — np.random.RandomState is not thread-safe)."""
         if idx < len(self._parsed):
             path, boxes = self._parsed[idx]
-            img, (ih, iw) = _decode_image(path, self.staging, jq, rng)
+            img, (ih, iw) = _decode_image(path, self.staging, jq_value)
             b = boxes.copy()
             if len(b):
                 # normalize to the ORIGINAL image so the device affine is exact
@@ -217,7 +225,16 @@ class Dataset:
                         idxs = np.concatenate(
                             [idxs, np.repeat(idxs[-1:], self.batch_size - n_valid)]
                         )
-                    samples = list(pool.map(lambda i: self._load_sample(i, rng), idxs))
+                    # draw per-sample JPEG qualities HERE (single thread):
+                    # RandomState is not thread-safe inside the pool
+                    if self.mode == DatasetMode.TRAIN and self.jpeg_quality:
+                        lo, hi = self.jpeg_quality
+                        qs = [int(q) for q in rng.randint(lo, hi + 1, size=len(idxs))]
+                    else:
+                        qs = [None] * len(idxs)
+                    samples = list(
+                        pool.map(lambda iq: self._load_sample(*iq), zip(idxs, qs))
+                    )
                     imgs = np.stack([s[0] for s in samples])
                     boxes = np.stack([s[1] for s in samples])
                     valid = np.stack([s[2] for s in samples])

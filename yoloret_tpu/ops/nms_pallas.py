@@ -131,6 +131,15 @@ def nms_fused(
             cls_scores, ((0, 0), (0, c_pad), (0, 0)), constant_values=NEG
         )
     cp = c + c_pad
+    # Candidate (lane) dimension must also be 128-aligned; pad with
+    # never-picked entries (NEG scores, zero boxes).
+    k_pad = (-k) % 128
+    if k_pad:
+        cls_boxes = jnp.pad(cls_boxes, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        cls_scores = jnp.pad(
+            cls_scores, ((0, 0), (0, 0), (0, k_pad)), constant_values=NEG
+        )
+        k = k + k_pad
     dp = d + ((-d) % 128)  # lane dimension must be 128-aligned
     planes = tuple(cls_boxes[..., i] for i in range(4))  # 4 x [B, Cp, K]
 

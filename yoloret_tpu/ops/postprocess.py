@@ -47,6 +47,10 @@ def gather_boxes_and_scores(
     # Network input inferred from the coarsest grid: reference multiplies the
     # stride-32 grid by 32 (code/yolo3/model.py:449).
     input_hw = (outputs[0].shape[-4] * 32, outputs[0].shape[-3] * 32)
+    # Zoom-crop size likewise from ITS coarsest grid only — per-scale
+    # grids have strides 32/16/8, so grid*32 is wrong for l > 0.
+    if zoom_outputs is not None:
+        zoom_hw = (zoom_outputs[0].shape[-4] * 32, zoom_outputs[0].shape[-3] * 32)
 
     all_boxes, all_scores = [], []
     for l in range(num_scales):
@@ -54,7 +58,6 @@ def gather_boxes_and_scores(
         xy, wh, obj, probs = decode_scale(feats, anchors[jnp.asarray(masks[l])], input_hw)
         if zoom_outputs is not None:
             zfeats = zoom_outputs[l].astype(jnp.float32)
-            zoom_hw = (zfeats.shape[-4] * 32, zfeats.shape[-3] * 32)
             zxy, zwh, zobj, zprobs = decode_scale(
                 zfeats, anchors[jnp.asarray(masks[l])], zoom_hw
             )

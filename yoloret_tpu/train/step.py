@@ -60,6 +60,7 @@ class StepConfig:
     num_scales: int = 3
     ignore_thresh: float = 0.5
     box_loss: str = "giou"
+    class_loss_kind: str = "bce"  # or "focal"
     backbone_train: bool = True  # False in stage 1 (frozen backbone BN)
     use_adv: bool = False  # adversarial regularization (reference :90-91)
     adv_multiplier: float = 0.2
@@ -85,6 +86,7 @@ def _loss_for_images(model_vars, apply_fn, images, batch, cfg, rngs):
         num_scales=cfg.num_scales,
         ignore_thresh=cfg.ignore_thresh,
         box_loss=cfg.box_loss,
+        class_loss_kind=cfg.class_loss_kind,
     )
     return total, (parts, mutated)
 
@@ -177,6 +179,7 @@ def eval_step(
         num_scales=cfg.num_scales,
         ignore_thresh=cfg.ignore_thresh,
         box_loss=cfg.box_loss,
+        class_loss_kind=cfg.class_loss_kind,
     )
     return {"val_loss": total}
 

@@ -99,9 +99,16 @@ def train(cfg: RunConfig) -> str:
     )
     # Load weights: stage 2 resumes the stage-1 checkpoint
     # (reference train.py:191-193); --model is a generic warm start.
+    # Restore WITHOUT a target tree and subset: the source may carry
+    # extra keys (e.g. ema_params from a use_ema stage 1) that a strict
+    # `like=` restore rejects.
     init_path = cfg.train_unfreeze if not cfg.freeze else cfg.model
     if init_path:
-        variables = load_params(init_path, like=variables)
+        restored = load_params(init_path)
+        variables = {
+            "params": jax.tree.map(jnp.asarray, restored["params"]),
+            "batch_stats": jax.tree.map(jnp.asarray, restored["batch_stats"]),
+        }
 
     schedule = cosine_lr_schedule(lr, epochs, steps_per_epoch)
     base_tx = optax.adam(schedule, eps=1e-8)  # reference train.py:158
@@ -125,6 +132,7 @@ def train(cfg: RunConfig) -> str:
         num_scales=cfg.num_scales,
         ignore_thresh=cfg.ignore_thresh,
         box_loss=cfg.box_loss,
+        class_loss_kind=cfg.class_loss,
         backbone_train=not cfg.freeze,
         use_adv=cfg.use_adv,
     )
@@ -140,21 +148,27 @@ def train(cfg: RunConfig) -> str:
 
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"), every=cfg.checkpoint_every)
     start_epoch = 0
+    def _ckpt_tree():
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.ema_params is not None:
+            tree["ema_params"] = state.ema_params
+        return tree
+
     if cfg.resume:
         latest = ckpt.latest_epoch()
         if latest is not None:
-            tree = {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            }
-            restored = ckpt.restore(latest, tree)
+            restored = ckpt.restore(latest, _ckpt_tree())
             state = state.replace(
                 params=restored["params"],
                 batch_stats=restored["batch_stats"],
                 opt_state=restored["opt_state"],
                 step=restored["step"],
+                ema_params=restored.get("ema_params", state.ema_params),
             )
             start_epoch = latest + 1
             print(f"resumed from epoch {latest} checkpoint")
@@ -217,12 +231,7 @@ def train(cfg: RunConfig) -> str:
         tb.flush()
         ckpt.maybe_save(
             epoch,
-            {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            },
+            _ckpt_tree(),
             val_loss if np.isfinite(val_loss) else train_loss,
         )
 
