@@ -113,3 +113,42 @@ def test_detect_matches_numpy_oracle(rng):
         assert gc == wc
         assert gs == pytest.approx(ws, rel=1e-4)
         np.testing.assert_allclose(gb, wb, atol=1e-2)
+
+
+def test_detect_batch_matches_per_image_detect(rng):
+    """The candidate-first batched path (default) must agree with the
+    per-image reference path detection-for-detection."""
+    import jax
+
+    from yoloret_tpu.ops import detect_batch
+
+    H = W = 96
+    B, C = 3, 4
+    outputs = [
+        jnp.asarray((rng.randn(B, H // s, W // s, 3, 5 + C) * 1.5).astype(np.float32))
+        for s in (32, 16, 8)
+    ]
+    hw = jnp.asarray([[150.0, 200.0], [96.0, 96.0], [300.0, 40.0]], jnp.float32)
+    res_b = detect_batch(
+        outputs, jnp.asarray(ANCHORS), C, hw,
+        score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10,
+        num_candidates=128, use_pallas=False,
+    )
+    fn = lambda outs, h: detect(
+        outs, jnp.asarray(ANCHORS), C, h,
+        score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10,
+        num_candidates=128,
+    )
+    res_i = jax.vmap(fn)(tuple(outputs), hw)
+    for b in range(B):
+        vb = np.asarray(res_b.valid[b])
+        vi = np.asarray(res_i.valid[b])
+        sb = np.sort(np.asarray(res_b.scores[b])[vb])
+        si = np.sort(np.asarray(res_i.scores[b])[vi])
+        assert len(sb) == len(si)
+        np.testing.assert_allclose(sb, si, rtol=1e-5)
+        bb = np.asarray(res_b.boxes[b])[vb]
+        bi = np.asarray(res_i.boxes[b])[vi]
+        np.testing.assert_allclose(
+            sorted(map(tuple, bb.round(3))), sorted(map(tuple, bi.round(3))), atol=1e-2
+        )

@@ -122,21 +122,23 @@ def detect_batch(
     """Batched postprocess: outputs [B, gh, gw, A, 5+C] per scale,
     image_hw [B, 2]. Returns NMSResult with leading batch dim.
 
-    ``use_pallas`` selects the fused VMEM-resident NMS kernel with
-    candidate-only box decode (ops/nms_pallas.py). Default False: on the
-    measured configs the XLA suppression path is slightly faster (8.9k
-    vs 7.9k img/s/chip at the serving config) and compiles faster; the
-    kernel remains available for larger K/C regimes.
+    ``use_pallas=True`` routes through the candidate-first structure
+    (full-grid scores -> per-class top-k -> box decode on K candidates
+    only) feeding the fused VMEM-resident kernel (ops/nms_pallas.py).
+    The default (False) vmaps the per-image path — measured fastest on
+    current configs (full-grid box decode fuses into the score pass;
+    candidate gathers cost more than they save at small K).
     """
     if use_pallas is None:
         use_pallas = False
     if use_pallas and zoom_outputs is None:
-        return _detect_batch_pallas(
+        return _detect_batch_candidates(
             outputs, anchors, num_classes, image_hw,
             max_det_per_class=max_det_per_class,
             score_threshold=score_threshold,
             iou_threshold=iou_threshold,
             num_candidates=num_candidates,
+            use_pallas=True,
         )
     if zoom_outputs is None:
         fn = lambda outs, hw: detect(
@@ -188,7 +190,47 @@ def _position_constants(outputs: Sequence[jnp.ndarray], anchors: jnp.ndarray):
     )
 
 
-def _detect_batch_pallas(
+def _suppress_lax(
+    cls_boxes: jnp.ndarray,  # [B, C, K, 4]
+    cls_scores: jnp.ndarray,  # [B, C, K]
+    *,
+    max_det: int,
+    iou_threshold: float,
+    score_threshold: float,
+):
+    """Batched greedy suppression over per-class candidate pools — the
+    XLA twin of the Pallas kernel (same math, jnp over a leading batch
+    axis). Returns (boxes [B, C, D, 4], scores [B, C, D])."""
+    from yoloret_tpu.ops.boxes import iou as box_iou
+
+    b, c, k = cls_scores.shape
+    neg_inf = jnp.asarray(-jnp.inf, cls_scores.dtype)
+    active0 = jnp.where(cls_scores >= score_threshold, cls_scores, neg_inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, c, k), 2)
+    out_b0 = jnp.zeros((b, c, max_det, 4), jnp.float32)
+    out_s0 = jnp.zeros((b, c, max_det), jnp.float32)
+
+    def step(i, carry):
+        active, ob, os_ = carry
+        best_score = jnp.max(active, axis=-1)  # [B, C]
+        best = jnp.argmax(active, axis=-1)  # [B, C]
+        onehot = (lane == best[..., None]).astype(jnp.float32)  # [B, C, K]
+        best_box = jnp.einsum("bck,bckd->bcd", onehot, cls_boxes)
+        picked = best_score > neg_inf
+        ob = ob.at[:, :, i].set(jnp.where(picked[..., None], best_box, 0.0))
+        os_ = os_.at[:, :, i].set(jnp.where(picked, best_score, 0.0))
+        pick_iou = box_iou(best_box[:, :, None, :], cls_boxes)  # [B, C, K]
+        kill = (pick_iou > iou_threshold) | (onehot > 0)
+        active = jnp.where(picked[..., None] & kill, neg_inf, active)
+        return active, ob, os_
+
+    _, out_boxes, out_scores = jax.lax.fori_loop(
+        0, max_det, step, (active0, out_b0, out_s0)
+    )
+    return out_boxes, out_scores
+
+
+def _detect_batch_candidates(
     outputs: Sequence[jnp.ndarray],
     anchors: jnp.ndarray,
     num_classes: int,
@@ -198,13 +240,14 @@ def _detect_batch_pallas(
     score_threshold: float,
     iou_threshold: float,
     num_candidates: int,
+    use_pallas: bool,
 ) -> NMSResult:
     """scores (full grid) -> per-class top-k -> candidate-ONLY box decode
-    -> fused Pallas suppression kernel.
+    -> greedy suppression (Pallas kernel or batched lax loop).
 
     Box decode and letterbox inversion run on the K candidates per class
     instead of all N positions, skipping the full [B, N, 4] box
-    materialization the vmap path pays."""
+    materialization."""
     from yoloret_tpu.ops.decode import correct_boxes
     from yoloret_tpu.ops.nms_pallas import fused_result, nms_fused
 
@@ -235,11 +278,20 @@ def _detect_batch_pallas(
     wh = jnp.exp(cand_raw[..., 2:4]) * cand_anchor / wh_in
     cls_boxes = correct_boxes(xy, wh, input_hw, image_hw[:, None, None, :])
 
-    out_boxes, out_scores = nms_fused(
-        cls_boxes,
-        cls_scores,
-        max_det_per_class=max_det_per_class,
-        iou_threshold=iou_threshold,
-        score_threshold=score_threshold,
-    )
+    if use_pallas:
+        out_boxes, out_scores = nms_fused(
+            cls_boxes,
+            cls_scores,
+            max_det_per_class=max_det_per_class,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+        )
+    else:
+        out_boxes, out_scores = _suppress_lax(
+            cls_boxes,
+            cls_scores,
+            max_det=max_det_per_class,
+            iou_threshold=iou_threshold,
+            score_threshold=score_threshold,
+        )
     return fused_result(out_boxes, out_scores)
