@@ -101,3 +101,22 @@ def test_fused_pads_non_aligned_candidate_pool(rng):
         sorted(np.asarray(r.scores)[np.asarray(r.valid)]),
         rtol=1e-5,
     )
+
+
+def test_suppress_lax_matches_kernel(rng):
+    """The batched lax suppression twin and the Pallas kernel implement
+    identical greedy semantics over the same candidate pools."""
+    from yoloret_tpu.ops.postprocess import _suppress_lax
+
+    boxes, scores = _problem(rng, b=2, n=300, c=5)
+    cls_boxes, cls_scores = _candidates(boxes, scores, 128)
+    kb, ks = nms_fused(
+        cls_boxes, cls_scores, max_det_per_class=8,
+        iou_threshold=0.5, score_threshold=0.3, interpret=True,
+    )
+    lb, ls = _suppress_lax(
+        cls_boxes, cls_scores, max_det=8,
+        iou_threshold=0.5, score_threshold=0.3,
+    )
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(kb), rtol=1e-6)
