@@ -91,3 +91,34 @@ def test_train_then_eval(tiny_voc, tmp_path):
         pred.model, pred.variables, ds, anchors, ["thing"], verbose=False
     )
     assert 0.0 <= mAP <= 1.0
+
+
+def test_multi_scale_schedule(tiny_voc, tmp_path):
+    """Epochs cycle through the size list; every size compiles and runs."""
+    from yoloret_tpu.train.trainer import train
+
+    cfg = RunConfig(
+        backbone="mobilenetv2x75",
+        input_size=(64, 64),
+        train_dataset=tiny_voc["ann"],
+        classes_path=tiny_voc["classes"],
+        anchors_path=tiny_voc["anchors"],
+        batch_size=4,
+        epochs=(2, 2),
+        learning_rate=(1e-3, 1e-4),
+        freeze=True,
+        bf16=False,
+        mesh_data=1,
+        multi_scale=[64, 96],
+        checkpoint_every=10**9,
+        log_dir=os.path.join(str(tmp_path), "logs_ms"),
+        seed=0,
+    )
+    out = train(cfg)
+    assert os.path.isdir(out)
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.log_dir, "mobilenetv2x75_stage1", "metrics.jsonl"))
+    ]
+    assert len(metrics) == 2
+    assert all(np.isfinite(m["loss"]) for m in metrics)

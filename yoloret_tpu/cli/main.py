@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int,
                    help="per-chip; global = batch_size * data-parallel size")
     p.add_argument("--epochs", type=int, nargs=2, metavar=("STAGE1", "STAGE2"))
+    p.add_argument("--multi_scale", type=int, nargs="+", metavar="SIZE",
+                   help="train each epoch at a size cycled from this list "
+                        "(multiples of 32), e.g. --multi_scale 288 320 352")
     p.add_argument("--learning_rate", type=float, nargs=2, metavar=("LR1", "LR2"))
     p.add_argument("--freeze", action="store_true")
     p.add_argument("--no-freeze", dest="freeze", action="store_false")
@@ -95,6 +98,8 @@ def args_to_config(args) -> RunConfig:
     ).split():
         if hasattr(args, f):
             overrides[f] = getattr(args, f)
+    if hasattr(args, "multi_scale"):
+        overrides["multi_scale"] = list(args.multi_scale)
     if hasattr(args, "epochs"):
         overrides["epochs"] = tuple(args.epochs)
     if hasattr(args, "learning_rate"):

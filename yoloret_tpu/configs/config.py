@@ -76,6 +76,10 @@ class RunConfig:
     max_boxes: int = 20
     augment: Optional[dict] = None  # AugmentConfig field overrides (e.g.
     # {"hue": 0.1, "min_scale": 0.5}); None = reference defaults
+    multi_scale: Optional[List[int]] = None  # e.g. [288, 320, 352]: each
+    # epoch trains at a size sampled round-robin from this list (all
+    # multiples of 32); one compiled step per size, fully-convolutional
+    # heads make weights size-agnostic. None = fixed input_size.
     # training (two-stage schedule, reference code/train.py:153-216)
     batch_size: int = 8  # per chip; global = batch_size * data-parallel size
     epochs: Tuple[int, int] = (100, 150)

@@ -75,11 +75,21 @@ def train(cfg: RunConfig) -> str:
         from yoloret_tpu.data import AugmentConfig
 
         aug_override = AugmentConfig(**cfg.augment)
-    train_ds = Dataset(
-        cfg.train_dataset, global_batch, anchors, num_classes,
-        input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
-        max_boxes=cfg.max_boxes, seed=cfg.seed, augment_config=aug_override,
-    )
+    # Multi-scale schedule: one Dataset (and compiled step) per size,
+    # round-robin per epoch; weights are size-agnostic (fully-conv).
+    train_sizes = [tuple(cfg.input_size)]
+    if cfg.multi_scale:
+        train_sizes = [(int(s), int(s)) for s in cfg.multi_scale]
+        assert all(h % 32 == 0 for h, _ in train_sizes), "sizes must be /32"
+    train_dss = [
+        Dataset(
+            cfg.train_dataset, global_batch, anchors, num_classes,
+            input_hw=hw, num_scales=cfg.num_scales,
+            max_boxes=cfg.max_boxes, seed=cfg.seed, augment_config=aug_override,
+        )
+        for hw in train_sizes
+    ]
+    train_ds = train_dss[0]
     val_ds = None
     if cfg.val_dataset:
         val_ds = Dataset(
@@ -185,14 +195,20 @@ def train(cfg: RunConfig) -> str:
     )
     from yoloret_tpu.parallel import device_prefetch
 
-    train_iter = device_prefetch(train_ds.build(epochs=None), data_shard, size=2)
+    train_iters = [
+        device_prefetch(ds.build(epochs=None), data_shard, size=2)
+        for ds in train_dss
+    ]
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        it = train_iters[epoch % len(train_iters)]
+        if len(train_iters) > 1:
+            print(f"epoch {epoch}: input size {train_sizes[epoch % len(train_sizes)]}")
         # Keep losses as device scalars — a float() per step would force a
         # sync and serialize the input pipeline against the device.
         losses = []
         for bstep in range(steps_per_epoch):
-            batch = next(train_iter)
+            batch = next(it)
             state, m = jit_train(state, batch, step_rng)
             losses.append(m["loss"])
             if (bstep + 1) % 50 == 0:  # reference yolo3/train.py:72-73
