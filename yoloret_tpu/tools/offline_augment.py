@@ -179,3 +179,29 @@ def augment_dataset(
     with open(out_list, "w") as f:
         f.write("\n".join(new_lines) + "\n")
     return len(new_lines)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="offline cutout/mixup/mosaic dataset expansion "
+        "(the reference's augment_data.py as a CLI)"
+    )
+    p.add_argument("annotation_file")
+    p.add_argument("out_dir")
+    p.add_argument("out_list")
+    p.add_argument("--cutout", type=int, default=0)
+    p.add_argument("--mixup", type=int, default=0)
+    p.add_argument("--mosaic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    n = augment_dataset(
+        a.annotation_file, a.out_dir, a.out_list,
+        n_cutout=a.cutout, n_mixup=a.mixup, n_mosaic=a.mosaic, seed=a.seed,
+    )
+    print(f"{n} lines -> {a.out_list}")
+
+
+if __name__ == "__main__":
+    main()
