@@ -168,3 +168,12 @@ def test_voc_to_lists(tmp_path):
     n = sum(len(open(p).read().strip().splitlines()) for p in out.values())
     assert n == 10
     assert out["train"].endswith("_8.txt")  # size convention in filename
+
+
+def test_cost_analysis_reports_flops():
+    from yoloret_tpu.tools.profile import cost_analysis
+
+    c = cost_analysis("mobilenetv2x75", input_hw=(64, 64), batch=1, num_classes=2)
+    assert c["params"] > 1e6
+    assert c["flops"] > 1e7  # tens of MFLOPs at 64x64
+    assert c["bytes_accessed"] > 0
