@@ -122,3 +122,39 @@ def test_multi_scale_schedule(tiny_voc, tmp_path):
     ]
     assert len(metrics) == 2
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_trainer_8way_dp(tiny_voc, tmp_path):
+    """The full trainer over an 8-device simulated mesh: global batch is
+    sharded over data, state replicated, val pass included."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from yoloret_tpu.train.trainer import train
+
+    cfg = RunConfig(
+        backbone="mobilenetv2x75",
+        input_size=(64, 64),
+        train_dataset=tiny_voc["ann"],
+        val_dataset=tiny_voc["ann"],
+        classes_path=tiny_voc["classes"],
+        anchors_path=tiny_voc["anchors"],
+        batch_size=1,  # global = 8
+        epochs=(2, 2),
+        learning_rate=(1e-3, 1e-4),
+        freeze=True,
+        bf16=False,
+        mesh_data=8,
+        checkpoint_every=10**9,
+        log_dir=os.path.join(str(tmp_path), "logs_dp8"),
+        seed=0,
+    )
+    out = train(cfg)
+    assert os.path.isdir(out)
+    metrics = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.log_dir, "mobilenetv2x75_stage1", "metrics.jsonl"))
+    ]
+    assert len(metrics) == 2
+    assert all(np.isfinite(m["loss"]) and np.isfinite(m["val_loss"]) for m in metrics)
