@@ -41,6 +41,7 @@ def test_train_then_eval(tiny_voc, tmp_path):
         input_size=(64, 64),
         train_dataset=tiny_voc["ann"],
         val_dataset=tiny_voc["ann"],
+        test_dataset=tiny_voc["ann"],  # -> mAP during + at end of stage
         classes_path=tiny_voc["classes"],
         anchors_path=tiny_voc["anchors"],
         batch_size=4,
@@ -50,6 +51,10 @@ def test_train_then_eval(tiny_voc, tmp_path):
         bf16=False,
         mesh_data=1,
         checkpoint_every=1,
+        map_every=2,
+        tb_images=1,
+        early_stopping=True,
+        early_stopping_patience=100,  # wiring only; must not trip here
         log_dir=os.path.join(str(tmp_path), "logs"),
         seed=0,
     )
@@ -59,8 +64,28 @@ def test_train_then_eval(tiny_voc, tmp_path):
         json.loads(l)
         for l in open(os.path.join(cfg.log_dir, "mobilenetv2x75_stage1", "metrics.jsonl"))
     ]
-    assert len(metrics) == 2
-    assert np.isfinite(metrics[-1]["loss"]) and np.isfinite(metrics[-1]["val_loss"])
+    epoch_recs = [m for m in metrics if "loss" in m]
+    map_recs = [m for m in metrics if "mAP" in m]
+    assert len(epoch_recs) == 2
+    assert np.isfinite(epoch_recs[-1]["loss"]) and np.isfinite(epoch_recs[-1]["val_loss"])
+    # --map_every=2 fires after epoch 1 AND the stage end adds one more
+    assert len(map_recs) >= 2
+    assert all(0.0 <= m["mAP"] <= 1.0 for m in map_recs)
+    # tb_images wrote at least one image event (write_images parity)
+    import glob as _glob
+
+    from yoloret_tpu.data.tfrecord import read_tfrecords
+    from test_tensorboard import _parse_image_value
+
+    tb_files = _glob.glob(
+        os.path.join(cfg.log_dir, "mobilenetv2x75_stage1", "tb", "events.*")
+    )
+    assert tb_files
+    images = [
+        p for f in tb_files for r in read_tfrecords(f)
+        if (p := _parse_image_value(r)) is not None
+    ]
+    assert images and images[0][0] == "train_input/0"
 
     # preemption recovery: resume=True restores the latest periodic
     # checkpoint (epoch 1) and skips straight past the trained epochs
@@ -91,6 +116,29 @@ def test_train_then_eval(tiny_voc, tmp_path):
         pred.model, pred.variables, ds, anchors, ["thing"], verbose=False
     )
     assert 0.0 <= mAP <= 1.0
+
+
+def test_early_stopper_semantics():
+    """Keras EarlyStopping parity: min_delta=0, stop after `patience`
+    consecutive epochs without strict improvement."""
+    from yoloret_tpu.train.trainer import EarlyStopper
+
+    s = EarlyStopper(patience=2)
+    assert not s.update(5.0)  # improves (from inf)
+    assert not s.update(4.0)  # improves
+    assert not s.update(4.0)  # stale 1 (equal is NOT an improvement)
+    assert s.update(4.5)      # stale 2 -> stop
+    # NaN val_loss (no val set) never trips it
+    s2 = EarlyStopper(patience=1)
+    assert not s2.update(float("nan"))
+    assert not s2.update(float("nan"))
+    # improvement resets the counter
+    s3 = EarlyStopper(patience=2)
+    s3.update(3.0)
+    assert not s3.update(3.1)
+    assert not s3.update(2.9)
+    assert not s3.update(3.0)
+    assert s3.update(3.0)
 
 
 def test_multi_scale_schedule(tiny_voc, tmp_path):

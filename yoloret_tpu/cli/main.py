@@ -65,6 +65,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest periodic checkpoint (with optimizer state) and continue")
+    p.add_argument("--early_stopping", action="store_true",
+                   help="stop the stage when val_loss stalls (reference "
+                        "code/train.py:101-105)")
+    p.add_argument("--early_stopping_patience", type=int,
+                   help="epochs without val_loss improvement before stopping "
+                        "(default: stage epochs // 2)")
+    p.add_argument("--map_every", type=int,
+                   help="evaluate VOC mAP on --test_dataset every N epochs "
+                        "during training (0 = stage end only)")
+    p.add_argument("--tb_images", type=int,
+                   help="write N augmented inputs + detections per epoch to "
+                        "TensorBoard (write_images parity)")
     p.add_argument("--truncate_block", type=float,
                    help="freeze only backbone blocks up to this depth index "
                         "(truncated-transfer study); default: whole backbone")
@@ -94,6 +106,7 @@ def args_to_config(args) -> RunConfig:
         "backbone input_size num_scales model train_dataset val_dataset "
         "test_dataset classes_path anchors_path batch_size box_loss class_loss use_adv "
         "use_ema resume truncate_block score_threshold nms_iou log_dir opt seed "
+        "early_stopping early_stopping_patience map_every tb_images "
         "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"
     ).split():
         if hasattr(args, f):

@@ -96,6 +96,17 @@ class RunConfig:
     use_adv: bool = False
     use_ema: bool = False
     checkpoint_every: int = 3  # epochs (reference train.py:74-79)
+    early_stopping: bool = False  # stop the stage when val_loss has not
+    # improved for `early_stopping_patience` epochs (reference
+    # code/train.py:101-105: EarlyStopping(val_loss, patience=epochs//2))
+    early_stopping_patience: Optional[int] = None  # None = stage epochs // 2
+    map_every: int = 0  # if > 0 and test_dataset is set, run the VOC mAP
+    # evaluator every N epochs; mAP always runs once at stage end when
+    # test_dataset is set (reference MAPCallback-as-training-callback
+    # intent, code/yolo3/map.py:237-248 — mis-wired there, train.py:69-70)
+    tb_images: int = 0  # if > 0, write N augmented training inputs (with
+    # current-model detections drawn) per epoch to TensorBoard
+    # (write_images parity, reference code/train.py:71-73)
     resume: bool = False  # restore the latest periodic checkpoint (incl.
     # optimizer state) and continue — preemption recovery the reference
     # lacks (SURVEY §5: manual restart only)

@@ -130,6 +130,37 @@ class MAPEvaluator:
         return aps
 
 
+def _infer_detect(
+    model, variables, images, image_hw, anchors, *,
+    num_classes, score_threshold, nms_iou,
+):
+    import jax
+
+    from yoloret_tpu.ops import detect_batch
+
+    global _INFER_JIT
+    if _INFER_JIT is None:
+        def fn(model, variables, images, image_hw, anchors,
+               num_classes, score_threshold, nms_iou):
+            outs = model.apply(variables, images, False)
+            return detect_batch(
+                outs, anchors, num_classes=num_classes, image_hw=image_hw,
+                score_threshold=score_threshold, iou_threshold=nms_iou,
+            )
+        _INFER_JIT = jax.jit(
+            fn,
+            static_argnums=(0, 5),
+            static_argnames=("score_threshold", "nms_iou"),
+        )
+    return _INFER_JIT(
+        model, variables, images, image_hw, anchors, num_classes,
+        score_threshold=score_threshold, nms_iou=nms_iou,
+    )
+
+
+_INFER_JIT = None
+
+
 def evaluate_map(
     model,
     variables,
@@ -152,8 +183,6 @@ def evaluate_map(
     import jax
     import jax.numpy as jnp
 
-    from yoloret_tpu.ops import detect_batch
-
     num_classes = len(class_names)
     anchors_j = jnp.asarray(anchors, jnp.float32)
 
@@ -167,17 +196,15 @@ def evaluate_map(
         )
         put = lambda x: jax.device_put(x, data_shard)
 
-    @jax.jit
-    def infer(variables, images, image_hw):
-        outs = model.apply(variables, images, False)
-        return detect_batch(
-            outs,
-            anchors_j,
-            num_classes=num_classes,
-            image_hw=image_hw,
-            score_threshold=score_threshold,
-            iou_threshold=nms_iou,
-        )
+    # Module-level jit (Flax modules hash by config) so repeated calls —
+    # e.g. the trainer's --map_every evaluations — reuse the compiled
+    # program instead of recompiling per call.
+    infer = lambda variables, images, image_hw: _infer_detect(
+        model, variables, images, image_hw, anchors_j,
+        num_classes=num_classes,
+        score_threshold=score_threshold,
+        nms_iou=nms_iou,
+    )
 
     ev = MAPEvaluator(num_classes, iou_threshold)
     n_images = 0

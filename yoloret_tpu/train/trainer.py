@@ -44,6 +44,26 @@ from yoloret_tpu.train.step import (
 from yoloret_tpu.utils.checkpoint import CheckpointManager, load_params, save_params
 
 
+class EarlyStopper:
+    """val_loss early stopping (reference code/train.py:101-105:
+    ``EarlyStopping(monitor='val_loss', min_delta=0, patience=epochs//2)``).
+    ``update()`` returns True when the stage should stop."""
+
+    def __init__(self, patience: int):
+        self.patience = max(1, int(patience))
+        self.best = float("inf")
+        self.stale = 0
+
+    def update(self, val_loss: float) -> bool:
+        if not np.isfinite(val_loss):
+            return False
+        if val_loss < self.best:
+            self.best, self.stale = val_loss, 0
+            return False
+        self.stale += 1
+        return self.stale >= self.patience
+
+
 def train(cfg: RunConfig) -> str:
     """Run one training stage; returns the path of the saved weights."""
     assert cfg.train_dataset and cfg.classes_path and cfg.anchors_path, (
@@ -96,6 +116,16 @@ def train(cfg: RunConfig) -> str:
             cfg.val_dataset, global_batch, anchors, num_classes,
             input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
             max_boxes=cfg.max_boxes, mode=DatasetMode.VALIDATE, seed=cfg.seed,
+        )
+    # mAP-during-training: the reference builds MAPCallback as a training
+    # callback (code/yolo3/map.py:237-248; mis-wired at train.py:69-70 but
+    # clearly intended). Here: every `map_every` epochs + once at stage end.
+    map_ds = None
+    if cfg.test_dataset:
+        map_ds = Dataset(
+            cfg.test_dataset, global_batch, anchors, num_classes,
+            input_hw=tuple(cfg.input_size), num_scales=cfg.num_scales,
+            max_boxes=cfg.max_boxes, mode=DatasetMode.TEST, seed=cfg.seed,
         )
     steps_per_epoch = train_ds.steps_per_epoch()
 
@@ -199,6 +229,78 @@ def train(cfg: RunConfig) -> str:
         device_prefetch(ds.build(epochs=None), data_shard, size=2)
         for ds in train_dss
     ]
+
+    def _eval_map(epoch: int) -> float:
+        from yoloret_tpu.eval import evaluate_map
+
+        mAP, _ = evaluate_map(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            map_ds, anchors, class_names,
+            nms_iou=cfg.nms_iou, verbose=False, mesh=mesh,
+        )
+        rec = {"epoch": epoch, "mAP": mAP}
+        print(json.dumps(rec))
+        mfile.write(json.dumps(rec) + "\n")
+        mfile.flush()
+        tb.add_scalar("mAP", mAP, epoch)
+        tb.flush()
+        return mAP
+
+    jit_detect = None
+    if cfg.tb_images > 0:
+        from yoloret_tpu.ops import detect_batch
+
+        anchors_j = jnp.asarray(anchors, jnp.float32)
+
+        @jax.jit
+        def jit_detect(params, batch_stats, images):
+            outs = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images, False
+            )
+            hw = jnp.broadcast_to(
+                jnp.asarray(images.shape[1:3], jnp.float32),
+                (images.shape[0], 2),
+            )
+            return detect_batch(
+                outs, anchors_j, num_classes=num_classes, image_hw=hw,
+                score_threshold=0.3, iou_threshold=cfg.nms_iou,
+            )
+
+    def _tb_images(epoch: int, images) -> None:
+        """Write augmented inputs with current-model detections drawn
+        (write_images parity, reference code/train.py:71-73)."""
+        from PIL import Image
+
+        from yoloret_tpu.infer.predictor import Detection, draw_detections
+
+        n = min(cfg.tb_images, images.shape[0])
+        res = jit_detect(state.params, state.batch_stats, images[:n])
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        classes = np.asarray(res.classes)
+        valid = np.asarray(res.valid)
+        imgs = np.asarray(images[:n])
+        for i in range(n):
+            u8 = (np.clip(imgs[i], 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            dets = [
+                Detection(
+                    (float(b[1]), float(b[0]), float(b[3]), float(b[2])),
+                    float(s), int(c), class_names[int(c)],
+                )
+                for b, s, c in zip(
+                    boxes[i][valid[i]], scores[i][valid[i]], classes[i][valid[i]]
+                )
+            ]
+            pil = draw_detections(Image.fromarray(u8), dets, class_names)
+            tb.add_image(f"train_input/{i}", np.asarray(pil), epoch)
+        tb.flush()
+
+    stopper = None
+    if cfg.early_stopping:
+        stopper = EarlyStopper(cfg.early_stopping_patience or epochs // 2)
+
+    epoch = max(start_epoch, epochs) - 1  # stage-end epoch if loop is empty
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         it = train_iters[epoch % len(train_iters)]
@@ -250,6 +352,21 @@ def train(cfg: RunConfig) -> str:
             _ckpt_tree(),
             val_loss if np.isfinite(val_loss) else train_loss,
         )
+        if jit_detect is not None:
+            _tb_images(epoch, batch["images"])
+        if map_ds is not None and cfg.map_every > 0 and (epoch + 1) % cfg.map_every == 0:
+            _eval_map(epoch)
+        if stopper is not None and stopper.update(val_loss):
+            print(
+                f"early stopping at epoch {epoch}: val_loss has not "
+                f"improved for {stopper.patience} epochs "
+                f"(best {stopper.best:.4f})"
+            )
+            break
+
+    if map_ds is not None:
+        mAP = _eval_map(epoch)
+        print(f"stage-end mAP: {mAP:.4f}")
 
     suffix = "stage_1" if cfg.freeze else "final"
     out = os.path.join(log_dir, f"{cfg.backbone}_trained_weights_{suffix}")

@@ -59,6 +59,39 @@ class SummaryWriter:
         body = _len_delim(5, summary)  # Event.summary
         self._w.write(_event(wall_time or time.time(), int(step), body))
 
+    def add_image(self, tag: str, image, step: int, wall_time: Optional[float] = None):
+        """Write an HWC uint8 (or [0,1] float) image summary
+        (``write_images`` parity, reference: code/train.py:71-73).
+
+        Wire format: Summary.Value.image (field 4) is an Image proto —
+          Image { int32 height=1; int32 width=2; int32 colorspace=3;
+                  bytes encoded_image_string=4; }
+        with the pixel payload PNG-encoded via PIL.
+        """
+        import io
+
+        import numpy as np
+        from PIL import Image as PILImage
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        h, w, c = arr.shape
+        buf = io.BytesIO()
+        PILImage.fromarray(arr.squeeze() if c == 1 else arr).save(buf, format="PNG")
+        img = (
+            _int64(1, h)
+            + _int64(2, w)
+            + _int64(3, c)  # colorspace: 1=gray, 3=RGB, 4=RGBA
+            + _len_delim(4, buf.getvalue())
+        )
+        val = _len_delim(1, tag.encode()) + _len_delim(4, img)  # Value.image
+        summary = _len_delim(1, val)
+        body = _len_delim(5, summary)
+        self._w.write(_event(wall_time or time.time(), int(step), body))
+
     def flush(self):
         self._w._f.flush()
 
