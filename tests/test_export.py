@@ -57,3 +57,41 @@ def test_export_quantized_weights(tmp_path):
     leaves = jtu.tree_leaves_with_path(restored["params_int8"])
     int8 = [l for p, l in leaves if getattr(l, "dtype", None) == np.int8]
     assert int8, "no int8 kernels in quantized export"
+
+
+def test_export_quantized_round_trip(tmp_path):
+    """int8 bundle -> dequantize -> run the SAME StableHLO program ->
+    detections numerically close to the fp32 bundle (the full edge
+    deployment path, not just a storage check)."""
+    from jax import export as jax_export
+
+    from yoloret_tpu.export.quantize import dequantize_tree
+
+    cfg = _cfg(tmp_path)
+    out_fp = str(tmp_path / "fp")
+    export_stablehlo(cfg, out_fp, batch=1)
+    out_q = str(tmp_path / "q")
+    export_stablehlo(cfg.replace(quantize=True), out_q, batch=1)
+
+    exported = jax_export.deserialize(open(out_q + "/model.stablehlo", "rb").read())
+    fp_vars = load_params(out_fp + "/weights")
+    q = load_params(out_q + "/weights")
+    deq_vars = {
+        "params": dequantize_tree(q["params_int8"]),
+        "batch_stats": jax.tree.map(jnp.asarray, q["batch_stats"]),
+    }
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    hw = jnp.full((1, 2), 64.0, jnp.float32)
+    b_fp, s_fp, c_fp, v_fp = exported.call(fp_vars, images, hw)
+    b_q, s_q, c_q, v_q = exported.call(deq_vars, images, hw)
+    # int8 per-channel weight quantization: scores drift slightly, the
+    # detection slate stays aligned
+    np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_fp), atol=0.05)
+    np.testing.assert_array_equal(np.asarray(c_q), np.asarray(c_fp))
+
+    meta = json.load(open(out_q + "/model.json"))
+    assert meta["quantized"] is True
+    assert meta["calling_convention_version"] >= 1
+    assert meta["jax_version"]

@@ -34,6 +34,45 @@ def test_yolo_nano_trains():
     assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
 
 
+def test_yolo_fastest_detector_contract():
+    """Intended Yolo-Fastest body (reference darknet.py:134-190 sketch,
+    completed): standard /32,/16,/8 pyramid, tiny parameter count."""
+    m = build_detector("yolo_fastest", num_classes=20)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), False)
+    ys = m.apply(v, jnp.zeros((2, 128, 128, 3)), False)
+    assert ys[0].shape == (2, 4, 4, 3, 25)
+    assert ys[1].shape == (2, 8, 8, 3, 25)
+    assert ys[2].shape == (2, 16, 16, 3, 25)
+    n = sum(x.size for x in jax.tree.leaves(v["params"]))
+    assert n < 6e5, n  # "fastest": a few hundred K params
+
+    # xl variant is wider but same contract
+    mx = build_detector("yolo_fastest_xl", num_classes=20)
+    vx = mx.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), False)
+    yx = mx.apply(vx, jnp.zeros((1, 128, 128, 3)), False)
+    assert yx[0].shape == (1, 4, 4, 3, 25)
+    nx = sum(x.size for x in jax.tree.leaves(vx["params"]))
+    assert nx > n
+
+
+def test_yolo_fastest_trains():
+    m = build_detector("yolo_fastest", num_classes=2)
+    x = jnp.ones((1, 64, 64, 3)) * 0.5
+    v = m.init(jax.random.PRNGKey(0), x, False)
+
+    def loss(p):
+        ys = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x, False)
+        return sum(jnp.sum(y**2) for y in ys)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    # the expand/depthwise path must receive gradient (the reference
+    # sketch's dead-path bug would leave these zero)
+    gb = g["body"]["block_0"]
+    assert float(sum(np.abs(l).sum() for l in jax.tree.leaves(gb["depthwise"]))) > 0
+
+
 def test_space_to_depth():
     x = jnp.arange(16, dtype=jnp.float32).reshape(1, 4, 4, 1)
     y = space_to_depth(x)

@@ -115,6 +115,77 @@ def test_detect_matches_numpy_oracle(rng):
         np.testing.assert_allclose(gb, wb, atol=1e-2)
 
 
+def test_shared_pool_full_coverage_matches_oracle(rng):
+    """pool='shared' with M covering every position and exact top-k is
+    bit-for-bit the reference per-class NMS: the shared pool is then just
+    a permutation of all candidates and suppression is exact."""
+    from yoloret_tpu.ops import detect_batch
+
+    H = W = 96
+    B, C = 2, 4
+    outputs = [
+        (rng.randn(B, H // s, W // s, 3, 5 + C) * 1.5).astype(np.float32)
+        for s in (32, 16, 8)
+    ]
+    hw = np.asarray([[150.0, 200.0], [96.0, 96.0]], np.float32)
+    res = detect_batch(
+        [jnp.asarray(o) for o in outputs], jnp.asarray(ANCHORS), C,
+        jnp.asarray(hw),
+        score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10,
+        num_candidates=10**9, pool="shared", approx_topk=False,
+    )
+    for b in range(B):
+        got = [
+            (int(c), float(s), np.asarray(bx))
+            for bx, s, c, v in zip(
+                np.asarray(res.boxes[b]), np.asarray(res.scores[b]),
+                np.asarray(res.classes[b]), np.asarray(res.valid[b]),
+            )
+            if v
+        ]
+        boxes_np, scores_np = np_decode_all(
+            [o[b] for o in outputs], (H, W), tuple(hw[b])
+        )
+        want = np_nms(boxes_np, scores_np, 0.3, 0.5, 10)
+        assert len(got) == len(want), (b, len(got), len(want))
+        got.sort(key=lambda t: (t[0], -t[1]))
+        want.sort(key=lambda t: (t[0], -t[1]))
+        for (gc, gs, gb), (wc, ws, wb) in zip(got, want):
+            assert gc == wc
+            assert gs == pytest.approx(ws, rel=1e-4)
+            np.testing.assert_allclose(gb, wb, atol=1e-2)
+
+
+def test_shared_pool_deep_m_matches_per_class(rng):
+    """At a deep-but-partial pool the shared structure agrees with the
+    per-class exact path on every surviving detection."""
+    from yoloret_tpu.ops import detect_batch
+
+    H = W = 96
+    B, C = 2, 4
+    outputs = [
+        jnp.asarray((rng.randn(B, H // s, W // s, 3, 5 + C) * 1.5).astype(np.float32))
+        for s in (32, 16, 8)
+    ]
+    hw = jnp.asarray([[150.0, 200.0], [96.0, 96.0]], jnp.float32)
+    kw = dict(score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10)
+    res_s = detect_batch(
+        outputs, jnp.asarray(ANCHORS), C, hw,
+        num_candidates=512, pool="shared", approx_topk=False, **kw,
+    )
+    res_p = detect_batch(
+        outputs, jnp.asarray(ANCHORS), C, hw,
+        num_candidates=1008, pool="per_class", approx_topk=False,
+        use_pallas=False, **kw,
+    )
+    for b in range(B):
+        vs, vp = np.asarray(res_s.valid[b]), np.asarray(res_p.valid[b])
+        ss = np.sort(np.asarray(res_s.scores[b])[vs])
+        sp = np.sort(np.asarray(res_p.scores[b])[vp])
+        assert len(ss) == len(sp)
+        np.testing.assert_allclose(ss, sp, rtol=1e-5)
+
+
 def test_detect_batch_matches_per_image_detect(rng):
     """The candidate-first batched path (default) must agree with the
     per-image reference path detection-for-detection."""

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(truncated-transfer study); default: whole backbone")
     p.add_argument("--score", dest="score_threshold", type=float)
     p.add_argument("--nms_iou", type=float)
+    p.add_argument("--exact_nms", action="store_true",
+                   help="MAP: reference-exact full-grid per-class NMS "
+                        "(slower; the default fast path measures 0.0000 "
+                        "mAP delta, see docs/design.md)")
     p.add_argument("--log_dir", type=str)
     p.add_argument("--opt", type=str, choices=["XLA", "DEBUG", "MKL"])
     p.add_argument("--seed", type=int)
@@ -105,7 +109,8 @@ def args_to_config(args) -> RunConfig:
     for f in (
         "backbone input_size num_scales model train_dataset val_dataset "
         "test_dataset classes_path anchors_path batch_size box_loss class_loss use_adv "
-        "use_ema resume truncate_block score_threshold nms_iou log_dir opt seed "
+        "use_ema resume truncate_block score_threshold nms_iou exact_nms "
+        "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "
         "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"
     ).split():
@@ -190,8 +195,14 @@ def main(argv=None) -> int:
             num_classes=len(class_names), input_hw=cfg.input_size,
             mode=DatasetMode.TEST,
         )
+        kw = {}
+        if cfg.exact_nms:
+            h, w = cfg.input_size
+            kw = dict(pool="per_class", approx_topk=False,
+                      num_candidates=sum((h // s) * (w // s) * 3
+                                         for s in (32, 16, 8)))
         evaluate_map(pred.model, pred.variables, ds, anchors, class_names,
-                     nms_iou=cfg.nms_iou)
+                     nms_iou=cfg.nms_iou, **kw)
     elif mode_name == "ANCHORS":
         from yoloret_tpu.tools.kmeans import kmeans_anchors_cli
 

@@ -47,6 +47,7 @@ class BACKBONE(enum.Enum):
     DARKNET53 = "darknet53"
     YOLO_NANO = "yolo_nano"
     YOLO_FASTEST = "yolo_fastest"
+    YOLO_FASTEST_XL = "yolo_fastest_xl"
 
 
 class BOX_LOSS(enum.Enum):
@@ -114,6 +115,9 @@ class RunConfig:
     # inference / eval
     score_threshold: float = 0.6
     nms_iou: float = 0.5
+    exact_nms: bool = False  # MAP mode: reference-exact per-class NMS
+    # over every grid position (exact top-k, per-class pools) instead of
+    # the measured-lossless shared-pool fast path (tools/topk_study.py)
     # runtime
     opt: Optional[str] = None
     seed: int = 0

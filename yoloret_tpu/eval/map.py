@@ -133,6 +133,7 @@ class MAPEvaluator:
 def _infer_detect(
     model, variables, images, image_hw, anchors, *,
     num_classes, score_threshold, nms_iou,
+    num_candidates=256, pool=None, approx_topk=True,
 ):
     import jax
 
@@ -141,20 +142,27 @@ def _infer_detect(
     global _INFER_JIT
     if _INFER_JIT is None:
         def fn(model, variables, images, image_hw, anchors,
-               num_classes, score_threshold, nms_iou):
+               num_classes, score_threshold, nms_iou,
+               num_candidates, pool, approx_topk):
             outs = model.apply(variables, images, False)
             return detect_batch(
                 outs, anchors, num_classes=num_classes, image_hw=image_hw,
                 score_threshold=score_threshold, iou_threshold=nms_iou,
+                num_candidates=num_candidates, pool=pool,
+                approx_topk=approx_topk,
             )
         _INFER_JIT = jax.jit(
             fn,
             static_argnums=(0, 5),
-            static_argnames=("score_threshold", "nms_iou"),
+            static_argnames=(
+                "score_threshold", "nms_iou", "num_candidates", "pool",
+                "approx_topk",
+            ),
         )
     return _INFER_JIT(
         model, variables, images, image_hw, anchors, num_classes,
         score_threshold=score_threshold, nms_iou=nms_iou,
+        num_candidates=num_candidates, pool=pool, approx_topk=approx_topk,
     )
 
 
@@ -174,12 +182,24 @@ def evaluate_map(
     max_batches: Optional[int] = None,
     verbose: bool = True,
     mesh=None,
+    num_candidates: int = 512,
+    pool: Optional[str] = None,
+    approx_topk: bool = True,
 ) -> Tuple[float, Dict[int, float]]:
     """Run the model over an eval Dataset (data/pipeline.py, TEST mode)
     and return (mAP, per-class APs) — the ``--mode=MAP`` driver
     (reference: code/yolo.py:397-405). Prints per-image latency like the
     reference (map.py:155-156). With ``mesh``, batches shard over the
-    ``data`` axis so evaluation scales across chips."""
+    ``data`` axis so evaluation scales across chips.
+
+    Candidate-selection defaults (shared pool M=512, approx top-k) were
+    chosen by measurement: on a crowded 4-class synthetic at partial
+    convergence, approx vs exact top-k costs 0.0000 mAP in every
+    configuration and the shared pool costs 0.0000 at M=512 (-0.003 at
+    256, -0.013 at 64) — tools/topk_study.py, table in docs/design.md.
+    ``pool='per_class', approx_topk=False, num_candidates=<grid size>``
+    reproduces the reference's exact per-class NMS bit-for-bit
+    (tests/test_postprocess_oracle.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -204,6 +224,9 @@ def evaluate_map(
         num_classes=num_classes,
         score_threshold=score_threshold,
         nms_iou=nms_iou,
+        num_candidates=num_candidates,
+        pool=pool,
+        approx_topk=approx_topk,
     )
 
     ev = MAPEvaluator(num_classes, iou_threshold)

@@ -95,7 +95,16 @@ def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
         "anchors": np.asarray(anchors).tolist(),
         "score_threshold": cfg.score_threshold,
         "nms_iou": cfg.nms_iou,
+        "quantized": bool(cfg.quantize),
         "outputs": ["boxes[ymin,xmin,ymax,xmax]", "scores", "classes", "valid"],
+        # Compatibility provenance: jax.export guarantees deserialization
+        # across releases per calling-convention version (see
+        # docs/usage.md "Export" for the TF-side conversion recipe).
+        "jax_version": jax.__version__,
+        "calling_convention_version": int(
+            getattr(exported, "calling_convention_version", 0)
+        ),
+        "platforms": list(getattr(exported, "platforms", ())),
     }
     with open(os.path.join(out_dir, "model.json"), "w") as f:
         json.dump(meta, f, indent=2)

@@ -30,8 +30,11 @@ BACKBONES = {
     "mobilenetv2x14": ("mobilenetv2", dict(alpha=1.4)),
     "mobilenetv2x10": ("mobilenetv2", dict(alpha=1.0)),
     "darknet53": ("darknet", dict()),
-    # complete legacy body (no RFCR/neck): reference model_computations.py
-    "yolo_nano": ("fullbody", dict()),
+    # complete legacy bodies (no RFCR/neck): reference
+    # model_computations.py (nano) and darknet.py:54-190 (fastest)
+    "yolo_nano": ("fullbody", dict(cls="nano")),
+    "yolo_fastest": ("fullbody", dict(cls="fastest")),
+    "yolo_fastest_xl": ("fullbody", dict(cls="fastest", xl=True)),
     **{f"efficientnetb{i}": ("efficientnet", dict(variant=f"b{i}")) for i in range(8)},
 }
 
@@ -61,13 +64,15 @@ class YoloReT(nn.Module):
 
             self.body = wrap(DarkNet53)(dtype=self.dtype, **kw)
         elif kind == "fullbody":
-            from yoloret_tpu.nn.legacy import YoloNano
+            from yoloret_tpu.nn.legacy import YoloFastest, YoloNano
 
-            self.body = YoloNano(
+            body_kw = dict(kw)
+            cls = {"nano": YoloNano, "fastest": YoloFastest}[body_kw.pop("cls")]
+            self.body = cls(
                 num_classes=self.num_classes,
                 num_anchors=self.num_anchors,
                 dtype=self.dtype,
-                **kw,
+                **body_kw,
             )
             return
         else:

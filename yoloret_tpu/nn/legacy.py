@@ -157,6 +157,158 @@ class YoloNano(nn.Module):
         return split(y1), split(y2), split(y3)
 
 
+def leaky(x: jnp.ndarray) -> jnp.ndarray:
+    """LeakyReLU(0.1) — the darknet-family activation
+    (reference: code/yolo3/darknet.py:23)."""
+    return jax.nn.leaky_relu(x, 0.1)
+
+
+class _FastestBlock(nn.Module):
+    """Yolo-Fastest inverted bottleneck: expand 1x1 -> depthwise 3x3 ->
+    project 1x1, each BN+LeakyReLU(0.1), residual at stride 1
+    (reference: code/yolo3/darknet.py:54-73).
+
+    The reference sketch wires the project conv to the block INPUT
+    (darknet.py:66-69), silently discarding the expand/depthwise path —
+    an obvious transcription bug in dormant code. This implements the
+    intended dataflow (expand -> depthwise -> project, as in upstream
+    Yolo-Fastest)."""
+
+    features: int
+    exp_features: int
+    strides: Tuple[int, int] = (1, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inputs = x
+        x = ConvBN(self.exp_features, (1, 1), act=leaky, dtype=self.dtype,
+                   name="expand")(x, train)
+        from yoloret_tpu.nn.layers import DepthwiseConvBN
+
+        x = DepthwiseConvBN((3, 3), self.strides, act=leaky,
+                            dtype=self.dtype, name="depthwise")(x, train)
+        x = ConvBN(self.features, (1, 1), act=leaky, dtype=self.dtype,
+                   name="project")(x, train)
+        if self.strides == (1, 1) and inputs.shape[-1] == self.features:
+            x = x + inputs
+        return x
+
+
+class YoloFastest(nn.Module):
+    """Yolo-Fastest full detector body — the reference's INTENDED
+    comparison baseline (reference: code/yolo3/darknet.py:134-190; the
+    sketch there is truncated with no return and a dead project path;
+    see docs/parity.md). Emits the standard coarsest-first 3-scale
+    pyramid so it plugs into the full pipeline as
+    ``backbone='yolo_fastest'`` (``xl=True`` for yolo_fastest_xl,
+    darknet.py:76-132).
+
+    Stage plan (base / xl channels): stem conv + pw/dw/pw bottleneck,
+    then 2/3/3/4+route2/4+route1/5 blocks with stride-2 transitions;
+    heads: concat(route1, up(x)) through 1x1+5x5-dw refinement,
+    a 5x5-dw tower on x, and a bare 1x1 on route2. The sketch's
+    stride-2 STEM would land those heads at /16,/32,/64 — incompatible
+    with the reference's own pipeline strides [32,16,8]
+    (code/yolo3/model.py:596) — so the stem runs at stride 1 here and
+    the taps land at the standard /8,/16,/32. Stem/head convs carry
+    BN+LeakyReLU (the upstream Yolo-Fastest design; the reference
+    sketch omits normalization there)."""
+
+    num_classes: int = 20
+    num_anchors: int = 3
+    xl: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, train: bool = False, backbone_train=None):
+        del backbone_train  # no transfer-learning split for this body
+        x = images.astype(self.dtype)
+        pred_ch = self.num_anchors * (5 + self.num_classes)
+        cb = lambda f, k, s, name: ConvBN(f, (k, k), strides=(s, s), act=leaky,
+                                          dtype=self.dtype, name=name)
+        blk = lambda f, e, s, name: _FastestBlock(f, e, (s, s),
+                                                  dtype=self.dtype, name=name)
+        from yoloret_tpu.nn.layers import DepthwiseConvBN
+
+        dw5 = lambda name: DepthwiseConvBN((5, 5), act=leaky,
+                                           dtype=self.dtype, name=name)
+
+        if self.xl:  # darknet.py:76-111
+            stem = (16, 16, 8)
+            plan = [
+                (8, 16, 1), (16, 48, 2),
+                (16, 64, 1), (16, 64, 1), (16, 64, 2),
+                (16, 96, 1), (16, 96, 1), (32, 96, 2),
+                (32, 192, 1), (32, 192, 1), (32, 192, 1), (32, 192, 1),
+                ("route2",), (48, 192, 2),
+                (48, 272, 1), (48, 272, 1), (48, 272, 1), (48, 272, 1),
+                ("route1",), (96, 272, 2),
+                (96, 448, 1), (96, 448, 1), (96, 448, 1), (96, 448, 1),
+                (96, 448, 1),
+            ]
+        else:  # darknet.py:135-169
+            stem = (8, 8, 4)
+            plan = [
+                (4, 8, 1), (8, 24, 2),
+                (8, 32, 1), (8, 32, 1), (8, 32, 2),
+                (8, 48, 1), (8, 48, 1), (16, 48, 2),
+                (16, 96, 1), (16, 96, 1), (16, 96, 1), (16, 96, 1),
+                ("route2",), (24, 96, 2),
+                (24, 136, 1), (24, 136, 1), (24, 136, 1), (24, 136, 1),
+                ("route1",), (48, 136, 2),
+                (48, 224, 1), (48, 224, 1), (48, 224, 1), (48, 224, 1),
+                (48, 224, 1),
+            ]
+
+        x = cb(stem[0], 3, 1, "stem_conv")(x, train)
+        x = cb(stem[1], 1, 1, "stem_pw")(x, train)
+        x = DepthwiseConvBN((3, 3), act=leaky, dtype=self.dtype,
+                            name="stem_dw")(x, train)
+        x = cb(stem[2], 1, 1, "stem_proj")(x, train)
+
+        routes = {}
+        bi = 0
+        for item in plan:
+            if len(item) == 1:
+                routes[item[0]] = x
+                continue
+            f, e, s = item
+            x = blk(f, e, s, f"block_{bi}")(x, train)
+            bi += 1
+
+        x = cb(96, 1, 1, "bridge")(x, train)  # darknet.py:171
+
+        # /16 branch (darknet.py:173-179)
+        b1 = jnp.concatenate([routes["route1"], upsample2x(x)], axis=-1)
+        b1 = cb(96, 1, 1, "h16_a")(b1, train)
+        b1 = dw5("h16_dw1")(b1, train)
+        b1 = cb(96, 1, 1, "h16_b")(b1, train)
+        b1 = dw5("h16_dw2")(b1, train)
+        b1 = cb(96, 1, 1, "h16_c")(b1, train)
+        y2 = nn.Conv(pred_ch, (1, 1), dtype=self.dtype, name="head_16")(b1)
+
+        # /32 branch (darknet.py:182-186)
+        b2 = dw5("h32_dw1")(x, train)
+        b2 = cb(128, 1, 1, "h32_a")(b2, train)
+        b2 = dw5("h32_dw2")(b2, train)
+        b2 = cb(128, 1, 1, "h32_b")(b2, train)
+        y1 = nn.Conv(pred_ch, (1, 1), dtype=self.dtype, name="head_32")(b2)
+
+        # /8 branch (darknet.py:190)
+        y3 = nn.Conv(pred_ch, (1, 1), dtype=self.dtype, name="head_8")(
+            routes["route2"]
+        )
+
+        def split(y):
+            b, gh, gw, _ = y.shape
+            return y.reshape(
+                b, gh, gw, self.num_anchors, 5 + self.num_classes
+            ).astype(jnp.float32)
+
+        return split(y1), split(y2), split(y3)
+
+
 def space_to_depth(x: jnp.ndarray, stride: int = 2) -> jnp.ndarray:
     """SkyNet reorg layer (model_computations.py:321-336)."""
     b, h, w, c = x.shape

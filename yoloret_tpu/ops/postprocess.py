@@ -91,6 +91,7 @@ def detect(
     iou_threshold: float = 0.5,
     num_candidates: int = 256,
     zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
+    approx_topk: bool = True,
 ) -> NMSResult:
     """Single-image postprocess (unbatched head outputs)."""
     boxes, scores = gather_boxes_and_scores(
@@ -103,6 +104,7 @@ def detect(
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         num_candidates=num_candidates,
+        approx_topk=approx_topk,
     )
 
 
@@ -118,19 +120,47 @@ def detect_batch(
     num_candidates: int = 256,
     zoom_outputs: Optional[Sequence[jnp.ndarray]] = None,
     use_pallas: Optional[bool] = None,
+    pool: Optional[str] = None,
+    approx_topk: bool = True,
 ) -> NMSResult:
     """Batched postprocess: outputs [B, gh, gw, A, 5+C] per scale,
     image_hw [B, 2]. Returns NMSResult with leading batch dim.
 
-    ``use_pallas=True`` routes through the candidate-first structure
-    (full-grid scores -> per-class top-k -> box decode on K candidates
-    only) feeding the fused VMEM-resident kernel (ops/nms_pallas.py).
-    The default (False) vmaps the per-image path — measured fastest on
-    current configs (full-grid box decode fuses into the score pass;
-    candidate gathers cost more than they save at small K).
+    ``pool`` selects the candidate structure:
+      * ``"per_class"`` — per-class top-K over all positions, then
+        per-class suppression (exactly the reference's NMS semantics
+        when K covers the grid).
+      * ``"shared"`` — ONE top-M over positions ranked by their best
+        class score (max_c sigmoid(l_c) == sigmoid(max_c l_c), so the
+        ranking needs no [B, N, C] materialization), then box decode
+        ONCE per position and per-class suppression over the shared
+        pool. Cuts the dominant per-class top-k scan by C× and the
+        candidate gather/decode by C×; a class's candidate can only be
+        missed if M positions of globally-higher-scoring OTHER classes
+        crowd it out (measured mAP-neutral at M=256 — docs/design.md).
+      * None — "shared" (the measured-fastest default; flip to
+        "per_class" to reproduce reference candidate semantics at
+        small pools).
+
+    ``approx_topk=False`` replaces ``jax.lax.approx_max_k`` (recall
+    0.95) with exact ``lax.top_k`` in the candidate selection.
+
+    ``use_pallas=True`` routes the per-class structure through the
+    fused VMEM-resident suppression kernel (ops/nms_pallas.py).
     """
+    if pool is None:
+        pool = "shared" if (use_pallas is None and zoom_outputs is None) else "per_class"
     if use_pallas is None:
         use_pallas = False
+    if pool == "shared" and zoom_outputs is None and not use_pallas:
+        return _detect_batch_shared_pool(
+            outputs, anchors, num_classes, image_hw,
+            max_det_per_class=max_det_per_class,
+            score_threshold=score_threshold,
+            iou_threshold=iou_threshold,
+            num_candidates=num_candidates,
+            approx_topk=approx_topk,
+        )
     if use_pallas and zoom_outputs is None:
         return _detect_batch_candidates(
             outputs, anchors, num_classes, image_hw,
@@ -139,6 +169,7 @@ def detect_batch(
             iou_threshold=iou_threshold,
             num_candidates=num_candidates,
             use_pallas=True,
+            approx_topk=approx_topk,
         )
     if zoom_outputs is None:
         fn = lambda outs, hw: detect(
@@ -150,6 +181,7 @@ def detect_batch(
             score_threshold=score_threshold,
             iou_threshold=iou_threshold,
             num_candidates=num_candidates,
+            approx_topk=approx_topk,
         )
         return jax.vmap(fn)(tuple(outputs), image_hw)
     fn = lambda outs, zouts, hw: detect(
@@ -162,6 +194,7 @@ def detect_batch(
         iou_threshold=iou_threshold,
         num_candidates=num_candidates,
         zoom_outputs=zouts,
+        approx_topk=approx_topk,
     )
     return jax.vmap(fn)(tuple(outputs), tuple(zoom_outputs), image_hw)
 
@@ -241,6 +274,7 @@ def _detect_batch_candidates(
     iou_threshold: float,
     num_candidates: int,
     use_pallas: bool,
+    approx_topk: bool = True,
 ) -> NMSResult:
     """scores (full grid) -> per-class top-k -> candidate-ONLY box decode
     -> greedy suppression (Pallas kernel or batched lax loop).
@@ -261,9 +295,12 @@ def _detect_batch_candidates(
     scores = jax.nn.sigmoid(raw_flat[..., 4:5]) * jax.nn.sigmoid(raw_flat[..., 5:])
     n = scores.shape[1]
     k = min(num_candidates, n)
-    cls_scores, cls_idx = jax.lax.approx_max_k(
-        scores.transpose(0, 2, 1), k, recall_target=0.95
-    )  # [B, C, K]
+    if approx_topk:
+        cls_scores, cls_idx = jax.lax.approx_max_k(
+            scores.transpose(0, 2, 1), k, recall_target=0.95
+        )  # [B, C, K]
+    else:
+        cls_scores, cls_idx = jax.lax.top_k(scores.transpose(0, 2, 1), k)
 
     # Candidate-only decode: gather raw box params + position constants.
     grid_xy, grid_wh, anchor_wh = _position_constants(outputs, anchors)
@@ -294,4 +331,109 @@ def _detect_batch_candidates(
             iou_threshold=iou_threshold,
             score_threshold=score_threshold,
         )
+    return fused_result(out_boxes, out_scores)
+
+
+def _suppress_lax_shared(
+    boxes: jnp.ndarray,  # [B, M, 4] — ONE box set shared by all classes
+    cls_scores: jnp.ndarray,  # [B, C, M]
+    *,
+    max_det: int,
+    iou_threshold: float,
+    score_threshold: float,
+):
+    """Greedy per-class suppression over a SHARED candidate pool. YOLO
+    boxes are class-independent, so the [B, M, 4] set broadcasts over
+    the class axis — no per-class box duplication in HBM."""
+    from yoloret_tpu.ops.boxes import iou as box_iou
+
+    b, c, m = cls_scores.shape
+    neg_inf = jnp.asarray(-jnp.inf, cls_scores.dtype)
+    active0 = jnp.where(cls_scores >= score_threshold, cls_scores, neg_inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, c, m), 2)
+    out_b0 = jnp.zeros((b, c, max_det, 4), jnp.float32)
+    out_s0 = jnp.zeros((b, c, max_det), jnp.float32)
+
+    def step(i, carry):
+        active, ob, os_ = carry
+        best_score = jnp.max(active, axis=-1)  # [B, C]
+        best = jnp.argmax(active, axis=-1)  # [B, C]
+        onehot = (lane == best[..., None]).astype(jnp.float32)  # [B, C, M]
+        best_box = jnp.einsum("bcm,bmd->bcd", onehot, boxes)
+        picked = best_score > neg_inf
+        ob = ob.at[:, :, i].set(jnp.where(picked[..., None], best_box, 0.0))
+        os_ = os_.at[:, :, i].set(jnp.where(picked, best_score, 0.0))
+        pick_iou = box_iou(best_box[:, :, None, :], boxes[:, None, :, :])  # [B, C, M]
+        kill = (pick_iou > iou_threshold) | (onehot > 0)
+        active = jnp.where(picked[..., None] & kill, neg_inf, active)
+        return active, ob, os_
+
+    _, out_boxes, out_scores = jax.lax.fori_loop(
+        0, max_det, step, (active0, out_b0, out_s0)
+    )
+    return out_boxes, out_scores
+
+
+def _detect_batch_shared_pool(
+    outputs: Sequence[jnp.ndarray],
+    anchors: jnp.ndarray,
+    num_classes: int,
+    image_hw: jnp.ndarray,
+    *,
+    max_det_per_class: int,
+    score_threshold: float,
+    iou_threshold: float,
+    num_candidates: int,
+    approx_topk: bool,
+) -> NMSResult:
+    """Shared-pool postprocess: ONE top-M over positions (ranked by best
+    class score) -> box decode ONCE per candidate -> per-class greedy
+    suppression over the shared pool.
+
+    vs the per-class structure this removes the dominant [B, C, N]
+    top-k scan (C× less scanning), decodes [B, M, 4] boxes instead of
+    [B, C, K, 4], and gathers M rows instead of C*K. Position ranking
+    uses max_c(sigmoid(obj) * sigmoid(l_c)) = sigmoid(obj) *
+    sigmoid(max_c l_c), so no [B, N, C] score tensor is materialized
+    before the gather."""
+    from yoloret_tpu.ops.decode import correct_boxes
+    from yoloret_tpu.ops.nms_pallas import fused_result
+
+    input_hw = (outputs[0].shape[-4] * 32, outputs[0].shape[-3] * 32)
+    b = outputs[0].shape[0]
+
+    raw_flat = jnp.concatenate(
+        [o.astype(jnp.float32).reshape(b, -1, o.shape[-1]) for o in outputs], axis=1
+    )  # [B, N, 5+C]
+    n = raw_flat.shape[1]
+    m = min(num_candidates, n)
+
+    best_logit = jnp.max(raw_flat[..., 5:], axis=-1)  # [B, N]
+    shared_score = jax.nn.sigmoid(raw_flat[..., 4]) * jax.nn.sigmoid(best_logit)
+    if approx_topk and m < n:
+        _, idx = jax.lax.approx_max_k(shared_score, m, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(shared_score, m)  # [B, M]
+
+    cand_raw = jnp.take_along_axis(raw_flat, idx[..., None], axis=1)  # [B, M, 5+C]
+    cls_scores = (
+        jax.nn.sigmoid(cand_raw[..., 4:5]) * jax.nn.sigmoid(cand_raw[..., 5:])
+    ).transpose(0, 2, 1)  # [B, C, M]
+
+    grid_xy, grid_wh, anchor_wh = _position_constants(outputs, anchors)
+    cand_grid = grid_xy[idx]  # [B, M, 2]
+    cand_gwh = grid_wh[idx]
+    cand_anchor = anchor_wh[idx]
+    wh_in = jnp.asarray([input_hw[1], input_hw[0]], jnp.float32)
+    xy = (jax.nn.sigmoid(cand_raw[..., :2]) + cand_grid) / cand_gwh
+    wh = jnp.exp(cand_raw[..., 2:4]) * cand_anchor / wh_in
+    boxes = correct_boxes(xy, wh, input_hw, image_hw[:, None, :])  # [B, M, 4]
+
+    out_boxes, out_scores = _suppress_lax_shared(
+        boxes,
+        cls_scores,
+        max_det=max_det_per_class,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+    )
     return fused_result(out_boxes, out_scores)

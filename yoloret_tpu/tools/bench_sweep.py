@@ -1,0 +1,105 @@
+"""Postprocess configuration sweep on real TPU hardware.
+
+Measures steady-state inference throughput (chained iterations — see
+bench.py for why) of the flagship model under each postprocess
+structure, to decide defaults with data instead of claims:
+
+  * per_class / K=64  / thresh 0.3  — round-1 serving headline
+  * per_class / K=256 / thresh 0.0  — round-1 MAP-grade config
+  * shared    / M=64  / thresh 0.3  — shared-pool serving
+  * shared    / M=256 / thresh 0.0  — shared-pool MAP-grade
+  * pallas    / K=256 / thresh 0.0  — fused suppression kernel
+
+Prints one JSON line per config to stdout (progress to stderr).
+
+    nohup python -m yoloret_tpu.tools.bench_sweep > /tmp/sweep.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.ops import detect_batch
+
+ANCHORS = np.asarray(
+    [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+     [59, 119], [116, 90], [156, 198], [373, 326]],
+    np.float32,
+)
+
+CONFIGS = [
+    # (name, pool, use_pallas, num_candidates, score_threshold)
+    ("per_class_k64_t30", "per_class", False, 64, 0.3),
+    ("per_class_k256_t0", "per_class", False, 256, 0.0),
+    ("shared_m64_t30", "shared", False, 64, 0.3),
+    ("shared_m256_t0", "shared", False, 256, 0.0),
+    ("shared_m512_t0", "shared", False, 512, 0.0),
+    ("pallas_k256_t0", "per_class", True, 256, 0.0),
+]
+
+
+def bench_config(model, variables, name, pool, use_pallas, k, thresh,
+                 batch=256, size=320, iters=30, warmup=5):
+    anchors = jnp.asarray(ANCHORS)
+    image_hw = jnp.full((batch, 2), float(size), jnp.float32)
+
+    @jax.jit
+    def infer(variables, images):
+        outs = model.apply(variables, images, False)
+        res = detect_batch(
+            outs, anchors, num_classes=20, image_hw=image_hw,
+            score_threshold=thresh, num_candidates=k,
+            pool=pool, use_pallas=use_pallas,
+        )
+        chained = images + 1e-12 * jnp.mean(res.scores).astype(images.dtype)
+        return chained, res
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+    t_c = time.perf_counter()
+    for _ in range(warmup):
+        images, res = infer(variables, images)
+    jax.block_until_ready((images, res))
+    print(f"{name}: compile+warmup {time.perf_counter() - t_c:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        images, res = infer(variables, images)
+    jax.block_until_ready((images, res))
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt / max(1, len(jax.devices()))
+    print(json.dumps({
+        "config": name, "pool": pool, "pallas": use_pallas,
+        "num_candidates": k, "score_threshold": thresh,
+        "images_per_sec_per_chip": round(ips, 1),
+        "ms_per_batch": round(dt / iters * 1e3, 2),
+    }), flush=True)
+    return ips
+
+
+def main(batch=256, size=320):
+    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
+    )
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for cfg in CONFIGS:
+        if only and cfg[0] not in only:
+            continue
+        try:
+            bench_config(model, variables, *cfg, batch=batch, size=size)
+        except Exception as e:  # keep sweeping; report the failure
+            print(json.dumps({"config": cfg[0], "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

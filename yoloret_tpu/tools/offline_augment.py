@@ -135,6 +135,8 @@ def augment_dataset(
     n_cutout: int = 0,
     n_mixup: int = 0,
     n_mosaic: int = 0,
+    n_autoaugment: int = 0,
+    aa_policy: str = "v0",
     seed: int = 0,
 ) -> int:
     """Generate augmented JPEGs + an extended list (original lines kept),
@@ -175,6 +177,17 @@ def augment_dataset(
         imgs, bxs = zip(*[load(i) for i in idxs])
         out, kept = mosaic(imgs, bxs, rng=rng)
         emit(out, kept, "mosaic")
+    if n_autoaugment:
+        from yoloret_tpu.tools.autoaugment import distort_image_with_autoaugment
+
+        nprng = np.random.RandomState(seed)
+        for _ in range(n_autoaugment):
+            img, boxes = load(rng.randrange(len(parsed)))
+            out, kept = distort_image_with_autoaugment(
+                img, boxes, policy=aa_policy, rng=nprng
+            )
+            if len(kept):  # a sub-policy can push every box off-image
+                emit(out, kept, "aa")
 
     with open(out_list, "w") as f:
         f.write("\n".join(new_lines) + "\n")
@@ -194,11 +207,15 @@ def main(argv=None):
     p.add_argument("--cutout", type=int, default=0)
     p.add_argument("--mixup", type=int, default=0)
     p.add_argument("--mosaic", type=int, default=0)
+    p.add_argument("--autoaugment", type=int, default=0,
+                   help="AutoAugment-for-detection samples (tools/autoaugment.py)")
+    p.add_argument("--aa_policy", type=str, default="v0")
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args(argv)
     n = augment_dataset(
         a.annotation_file, a.out_dir, a.out_list,
-        n_cutout=a.cutout, n_mixup=a.mixup, n_mosaic=a.mosaic, seed=a.seed,
+        n_cutout=a.cutout, n_mixup=a.mixup, n_mosaic=a.mosaic,
+        n_autoaugment=a.autoaugment, aa_policy=a.aa_policy, seed=a.seed,
     )
     print(f"{n} lines -> {a.out_list}")
 
