@@ -26,6 +26,21 @@ def test_flag_overrides():
     assert cfg.batch_size == 64 and cfg.use_ema
 
 
+def test_round2_flags():
+    args = build_parser().parse_args(
+        ["--early_stopping", "--early_stopping_patience=7", "--map_every=5",
+         "--tb_images=2", "--exact_nms"]
+    )
+    cfg = args_to_config(args)
+    assert cfg.early_stopping and cfg.early_stopping_patience == 7
+    assert cfg.map_every == 5 and cfg.tb_images == 2
+    assert cfg.exact_nms
+    # all default off
+    d = args_to_config(build_parser().parse_args([]))
+    assert not d.early_stopping and d.map_every == 0
+    assert d.tb_images == 0 and not d.exact_nms
+
+
 def test_rectangular_input_size():
     args = build_parser().parse_args(["--input_size=320,416"])
     assert args_to_config(args).input_size == (320, 416)

@@ -19,7 +19,13 @@ import tempfile
 import numpy as np
 
 
-def build_synthetic(root: str, n: int = 16, hw=(120, 160), seed: int = 0):
+def build_synthetic(root: str, n: int = 48, hw=(120, 160), seed: int = 0,
+                    objects: int = 3):
+    """n images with `objects` colored rectangles each. Sized by
+    measurement: single-object 16-image data plateaus at mAP ~0.02 even
+    at 300 steps (too little positive signal against the ~1/567
+    objectness prior); 48 images x 3 objects reaches mAP 0.63 by 360
+    steps and ~1.0 by the 150-epoch default."""
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -27,15 +33,18 @@ def build_synthetic(root: str, n: int = 16, hw=(120, 160), seed: int = 0):
     for i in range(n):
         h, w = hw
         arr = np.full((h, w, 3), 24, np.uint8)
-        bw = int(rng.randint(40, 70))
-        bh = int(rng.randint(30, 60))
-        x = int(rng.randint(0, w - bw))
-        y = int(rng.randint(0, h - bh))
-        color = [(230, 40, 40), (40, 230, 40)][i % 2]
-        arr[y : y + bh, x : x + bw] = color
+        boxes = []
+        for k in range(objects):
+            bw = int(rng.randint(40, 70))
+            bh = int(rng.randint(30, 60))
+            x = int(rng.randint(0, w - bw))
+            y = int(rng.randint(0, h - bh))
+            c = (i + k) % 2
+            arr[y : y + bh, x : x + bw] = [(230, 40, 40), (40, 230, 40)][c]
+            boxes.append(f"{x},{y},{x + bw},{y + bh},{c}")
         p = os.path.join(root, f"img{i}.jpg")
         Image.fromarray(arr).save(p, quality=95)
-        lines.append(f"{p} {x},{y},{x + bw},{y + bh},{i % 2}")
+        lines.append(p + " " + " ".join(boxes))
     ann = os.path.join(root, f"synth_train_{n}.txt")
     with open(ann, "w") as f:
         f.write("\n".join(lines) + "\n")
