@@ -46,7 +46,7 @@ CONFIGS = [
 
 
 def bench_config(model, variables, name, pool, use_pallas, k, thresh,
-                 batch=256, size=320, iters=30, warmup=5):
+                 batch=256, size=320, iters=30, warmup=5, num_classes=20):
     anchors = jnp.asarray(ANCHORS)
     image_hw = jnp.full((batch, 2), float(size), jnp.float32)
 
@@ -54,7 +54,7 @@ def bench_config(model, variables, name, pool, use_pallas, k, thresh,
     def infer(variables, images):
         outs = model.apply(variables, images, False)
         res = detect_batch(
-            outs, anchors, num_classes=20, image_hw=image_hw,
+            outs, anchors, num_classes=num_classes, image_hw=image_hw,
             score_threshold=thresh, num_candidates=k,
             pool=pool, use_pallas=use_pallas,
         )
@@ -85,17 +85,28 @@ def bench_config(model, variables, name, pool, use_pallas, k, thresh,
     return ips
 
 
-def main(batch=256, size=320):
-    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("configs", nargs="*", help="subset of config names")
+    p.add_argument("--backbone", default="mobilenetv2x75")
+    p.add_argument("--size", type=int, default=320)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--classes", type=int, default=20)
+    a = p.parse_args()
+
+    model = build_detector(a.backbone, num_classes=a.classes, dtype=jnp.bfloat16)
     variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
+        jax.random.PRNGKey(0), jnp.zeros((1, a.size, a.size, 3), jnp.float32),
+        False,
     )
-    only = [a for a in sys.argv[1:] if not a.startswith("-")]
     for cfg in CONFIGS:
-        if only and cfg[0] not in only:
+        if a.configs and cfg[0] not in a.configs:
             continue
         try:
-            bench_config(model, variables, *cfg, batch=batch, size=size)
+            bench_config(model, variables, *cfg, batch=a.batch, size=a.size,
+                         num_classes=a.classes)
         except Exception as e:  # keep sweeping; report the failure
             print(json.dumps({"config": cfg[0], "error": repr(e)[:300]}),
                   flush=True)
