@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from yoloret_tpu.configs import RunConfig
 from yoloret_tpu.export import export_stablehlo
@@ -57,6 +58,108 @@ def test_export_quantized_weights(tmp_path):
     leaves = jtu.tree_leaves_with_path(restored["params_int8"])
     int8 = [l for p, l in leaves if getattr(l, "dtype", None) == np.int8]
     assert int8, "no int8 kernels in quantized export"
+
+
+def _peaked_checkpoint(tmp_path, size=96):
+    """Detector weights with the head kernels amplified so scores form
+    strong input-dependent peaks — stable argmax across backends (random
+    init scores everything ~0.25, and NMS tie-breaks then differ between
+    XLA and XNNPACK numerics)."""
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.utils.checkpoint import save_params
+
+    model = build_detector("mobilenetv2x75", num_classes=2)
+    v = model.init(jax.random.PRNGKey(3), jnp.zeros((1, size, size, 3)), False)
+
+    def amplify(tree, path=()):
+        out = {}
+        for k, val in tree.items():
+            if isinstance(val, dict):
+                out[k] = amplify(val, path + (k,))
+            elif k == "kernel" and any("head" in p for p in path):
+                # x4: distinct non-saturated scores (0.31-0.37 with seed
+                # 3); x30 saturates sigmoids to ties and tie-breaks then
+                # legitimately differ between XLA and XNNPACK numerics
+                out[k] = val * 4.0
+            else:
+                out[k] = val
+        return out
+
+    params = amplify(jax.device_get(v["params"]))
+    path = str(tmp_path / "peaked")
+    save_params(path, {"params": params, "batch_stats": v["batch_stats"]})
+    return path
+
+
+def test_tflite_conversion_runs_and_matches(tmp_path):
+    """The real edge path (reference code/yolo.py:386-394): jax2tf ->
+    SavedModel -> TFLite flatbuffer -> tf.lite.Interpreter, detections
+    matching the JAX program."""
+    tf = pytest.importorskip("tensorflow")
+
+    from yoloret_tpu.export.export import _build_infer, export_tf_flavor
+
+    size = 96  # > 64 so the pool is partial: regression-guards the
+    # approx_max_k VHLO-downgrade failure (exports force exact top-k)
+    cfg = _cfg(tmp_path).replace(
+        input_size=(size, size),
+        model=_peaked_checkpoint(tmp_path, size),
+        score_threshold=0.3,
+    )
+    out = export_tf_flavor(cfg, str(tmp_path / "tfl"), "tflite")
+    assert os.path.exists(os.path.join(out, "model.tflite"))
+    assert os.path.isdir(os.path.join(out, "saved_model"))
+
+    rng = np.random.RandomState(0)
+    images = (rng.rand(1, size, size, 3) ** 2).astype(np.float32)
+    hw = np.full((1, 2), float(size), np.float32)
+    infer, _ = _build_infer(cfg)
+    jb, js, jc, jv = [np.asarray(x) for x in infer(images, hw)]
+
+    interp = tf.lite.Interpreter(
+        model_path=os.path.join(out, "model.tflite"))
+    interp.allocate_tensors()
+    for d in interp.get_input_details():
+        interp.set_tensor(d["index"], images if d["shape"][-1] == 3 else hw)
+    interp.invoke()
+    outs = {
+        (str(o["dtype"].__name__), tuple(o["shape"][1:])):
+            interp.get_tensor(o["index"])
+        for o in interp.get_output_details()
+    }
+    n = jb.shape[1]
+    tb = outs[("float32", (n, 4))]
+    ts = outs[("float32", (n,))]
+    tv = outs[("bool", (n,))]
+    tc = outs[("int32", (n,))]
+    assert jv.sum() > 0, "peaked weights must produce detections"
+    np.testing.assert_array_equal(tv, jv)
+    np.testing.assert_array_equal(tc, jc)
+    m = jv[0]
+    np.testing.assert_allclose(ts[0][m], js[0][m], atol=0.02)
+    np.testing.assert_allclose(tb[0][m], jb[0][m], atol=1.5)
+
+
+def test_tf_flavors_degrade_without_tf(tmp_path, capsys, monkeypatch):
+    """Where TF is absent, TFLITE/SERVING/TFJS modes fall back to the
+    StableHLO bundle with a clear message."""
+    import sys
+
+    from yoloret_tpu.export.export import _build_infer, export_model
+
+    monkeypatch.setitem(sys.modules, "tensorflow", None)  # import -> ImportError
+    cfg = _cfg(tmp_path).replace(export=str(tmp_path / "fb"))
+    out = export_model(cfg, flavor="tflite")
+    assert os.path.exists(os.path.join(out, "model.stablehlo"))
+    assert "StableHLO bundle" in capsys.readouterr().out
+
+    # the conversion source itself must be a runnable jax function
+    infer, names = _build_infer(cfg)
+    boxes, scores, classes, valid = infer(
+        jnp.zeros((1, 64, 64, 3), jnp.float32), jnp.full((1, 2), 64.0)
+    )
+    assert names == ["a", "b"] and boxes.shape[-1] == 4
+    assert np.all(np.isfinite(np.asarray(scores)))
 
 
 def test_export_quantized_round_trip(tmp_path):

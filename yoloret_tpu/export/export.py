@@ -51,9 +51,11 @@ def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
 
     def infer(variables, images, image_hw):
         outs = model.apply(variables, images, False)
+        # Exact top-k for the portable artifact (see _build_infer note).
         r = detect_batch(
             outs, anchors_j, num_classes=num_classes, image_hw=image_hw,
             score_threshold=cfg.score_threshold, iou_threshold=cfg.nms_iou,
+            approx_topk=False,
         )
         return r.boxes, r.scores, r.classes, r.valid
 
@@ -112,20 +114,96 @@ def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
     return out_dir
 
 
+def _build_infer(cfg: RunConfig):
+    """(infer(images, image_hw), class_names) with weights closed over —
+    the conversion source for every TF-side flavor."""
+    class_names = load_classes(cfg.classes_path)
+    anchors = load_anchors(cfg.anchors_path)
+    num_classes = len(class_names)
+    model = build_detector(
+        cfg.backbone, num_classes=num_classes,
+        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_size, 3)), False
+    )
+    if cfg.model:
+        variables = load_params(cfg.model, like=variables)
+    anchors_j = jnp.asarray(anchors, jnp.float32)
+
+    def infer(images, image_hw):
+        outs = model.apply(variables, images, False)
+        # approx_topk=False: jax.lax.approx_max_k lowers to an HLO the
+        # TFLite VHLO downgrade rejects ("failed to convert VHLO to
+        # v1.0.0"), and edge runtimes lack the TPU partial-reduce
+        # anyway. Exact top-k is measured mAP-identical
+        # (tools/topk_study.py) and fully portable.
+        r = detect_batch(
+            outs, anchors_j, num_classes=num_classes, image_hw=image_hw,
+            score_threshold=cfg.score_threshold, iou_threshold=cfg.nms_iou,
+            approx_topk=False,
+        )
+        return r.boxes, r.scores, r.classes, r.valid
+
+    return infer, class_names
+
+
+def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
+                     batch: int = 1) -> str:
+    """jax2tf conversion to the reference's TF artifacts
+    (reference: code/yolo.py:333-394): SavedModel (``serving``), TFLite
+    flatbuffer with size optimization (``tflite``,
+    OPTIMIZE_FOR_SIZE parity yolo.py:391), or a SavedModel staged for
+    the tfjs converter (``tfjs``). Requires a TensorFlow runtime — not
+    present in this image; exercised path is documented in
+    docs/usage.md and gated here."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    os.makedirs(out_dir, exist_ok=True)
+    infer, _ = _build_infer(cfg)
+    h, w = cfg.input_size
+    tf_fn = tf.function(
+        jax2tf.convert(infer, with_gradient=False),
+        input_signature=[
+            tf.TensorSpec([batch, h, w, 3], tf.float32, name="images"),
+            tf.TensorSpec([batch, 2], tf.float32, name="image_hw"),
+        ],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.infer = tf_fn
+    saved_dir = os.path.join(out_dir, "saved_model")
+    tf.saved_model.save(
+        module, saved_dir, signatures={"serving_default": tf_fn}
+    )
+    if flavor == "tflite":
+        conv = tf.lite.TFLiteConverter.from_saved_model(saved_dir)
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        with open(os.path.join(out_dir, "model.tflite"), "wb") as f:
+            f.write(conv.convert())
+        print(f"TFLite flatbuffer -> {out_dir}/model.tflite")
+    elif flavor == "tfjs":
+        print(
+            f"SavedModel -> {saved_dir}; finish with: tensorflowjs_converter "
+            f"--input_format=tf_saved_model {saved_dir} {out_dir}/tfjs_model"
+        )
+    else:
+        print(f"TF-Serving SavedModel -> {saved_dir}")
+    return out_dir
+
+
 def export_model(cfg: RunConfig, flavor: str = "export") -> str:
     out_dir = cfg.export or cfg.output or f"export_{cfg.backbone}"
     if flavor in ("tflite", "serving", "tfjs"):
         try:
             import tensorflow  # noqa: F401
 
-            raise NotImplementedError(
-                "jax2tf conversion path not wired yet; use the StableHLO "
-                "bundle with the TFLite converter offline"
-            )
+            return export_tf_flavor(cfg, out_dir, flavor)
         except ImportError:
             print(
                 f"{flavor}: TensorFlow runtime not present in this image; "
                 "writing the portable StableHLO bundle instead (feeds the "
-                "same converters offline)."
+                "same converters offline — recipe in docs/usage.md)."
             )
     return export_stablehlo(cfg, out_dir)
