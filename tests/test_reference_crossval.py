@@ -1,0 +1,250 @@
+"""FULL-DETECTOR numerical cross-validation against the reference.
+
+Builds the reference's own ``yolov3_body`` (reference:
+code/yolo3/model.py:170-342) from /root/reference — executed read-only
+at test time under Keras 3 with three inert shims (absent
+neural_structured_learning stubbed, the Keras-2-only ``layers=``
+injection dropped, ImageNet download skipped) — transfers its randomly
+initialized weights layer-for-layer into THIS framework's detector, and
+requires the three raw output pyramids to agree on a fixed input.
+
+This is the BASELINE.md "numerical parity" acceptance: backbone + RFCR
+(WeightedSum fusion + separable conv) + FPN/PANet lite heads validated
+against the reference's actual computation, not a transcription of it.
+The weight transfer itself doubles as a topology proof: every layer is
+matched by execution order + exact shape, so a divergence in block
+structure surfaces as a failed match, not a silent zero.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+h5py = pytest.importorskip("h5py")
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference/code"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference checkout not present"
+)
+
+
+def _build_reference(num_classes=2, size=96):
+    if "neural_structured_learning" not in sys.modules:
+        nsl = types.ModuleType("neural_structured_learning")
+        nsl.configs = types.SimpleNamespace(make_adv_reg_config=lambda **k: None)
+        nsl.keras = types.SimpleNamespace(adversarial_loss=lambda *a, **k: 0.0)
+        sys.modules["neural_structured_learning"] = nsl
+    if "tqdm" not in sys.modules:
+        tq = types.ModuleType("tqdm")
+        tq.tqdm = lambda x, **k: x
+        sys.modules["tqdm"] = tq
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    # Keras 3 rejects the keras-2 `layers=` injection the reference's
+    # override shim uses (BN-momentum only — irrelevant in eval), and
+    # this container has no egress for the ImageNet download.
+    orig = tf.keras.applications.MobileNetV2
+
+    def patched(*a, **kw):
+        kw.pop("layers", None)
+        kw["weights"] = None
+        return orig(*a, **kw)
+
+    tf.keras.applications.MobileNetV2 = patched
+    try:
+        from yolo3.model import yolov3_body
+
+        tf.random.set_seed(0)
+        inputs = tf.keras.Input((size, size, 3))
+        return yolov3_body(inputs, "mobilenetv2x75", 3, num_classes=num_classes)
+    finally:
+        tf.keras.applications.MobileNetV2 = orig
+
+
+def _is_backbone(name):
+    if name in ("Conv1", "bn_Conv1", "Conv_1", "Conv_1_bn"):
+        return True
+    if name.startswith("expanded_conv_"):
+        return True
+    if name.startswith("block_"):
+        n = name.split("_")[1]
+        return n.isdigit() and int(n) <= 16  # block_20/24_* are neck names
+    return False
+
+
+def _suffix_index(name, prefix):
+    if name == prefix:
+        return 0
+    if name.startswith(prefix + "_") and name[len(prefix) + 1:].isdigit():
+        return int(name[len(prefix) + 1:])
+    return None
+
+
+class _Queues:
+    """Auto-named neck layers in creation order (the numeric suffix IS
+    the creation counter; dead FPN pred convs consume indices but are
+    pruned from the live graph, which only shifts numbers)."""
+
+    def __init__(self, model):
+        self.q = {"conv": [], "dw": [], "bn": []}
+        order = {"conv": [], "dw": [], "bn": []}
+        for l in model.layers:
+            for key, prefix, cls in (
+                ("dw", "depthwise_conv2d", tf.keras.layers.DepthwiseConv2D),
+                ("conv", "conv2d", tf.keras.layers.Conv2D),
+                ("bn", "batch_normalization", tf.keras.layers.BatchNormalization),
+            ):
+                i = _suffix_index(l.name, prefix)
+                if i is not None and isinstance(l, cls):
+                    order[key].append((i, l))
+                    break
+        for key in self.q:
+            self.q[key] = [l for _, l in sorted(order[key], key=lambda t: t[0])]
+
+    def take(self, key, expect_shape):
+        l = self.q[key].pop(0)
+        w = l.get_weights()
+        assert tuple(w[0].shape) == tuple(expect_shape), (
+            key, l.name, w[0].shape, expect_shape
+        )
+        return w
+
+
+def _bn(w):
+    return {"scale": w[0], "bias": w[1]}, {"mean": w[2], "var": w[3]}
+
+
+def _convbn(q, cin, cout, k=1, dw=False):
+    """Pull a ConvBN pair (our {conv|dwconv, bn} node)."""
+    if dw:
+        kw = q.take("dw", (k, k, cin, 1))
+        kernel = np.transpose(kw[0], (0, 1, 3, 2))
+        key = "dwconv"
+    else:
+        kw = q.take("conv", (k, k, cin, cout))
+        kernel = kw[0]
+        key = "conv"
+    bw = q.take("bn", (cout if not dw else cin,))
+    p, s = _bn(bw)
+    return {key: {"kernel": kernel}, "bn": p}, {"bn": s}
+
+
+def _lite_head(q, cin, filters, pred_ch, with_pred):
+    """make_last_layers_efficientnet_lite (reference model.py:91-115):
+    expand ConvBN -> MBConv(e=1: dw k3 + SE + project) [-> pred]."""
+    params, stats = {}, {}
+    params["expand"], stats["expand"] = _convbn(q, cin, filters)
+    mb_p, mb_s = {}, {}
+    mb_p["depthwise"], mb_s["depthwise"] = _convbn(q, filters, filters, k=3, dw=True)
+    red = max(1, int(filters * 0.25))
+    rw = q.take("conv", (1, 1, filters, red))
+    ew = q.take("conv", (1, 1, red, filters))
+    mb_p["se"] = {
+        "reduce": {"kernel": rw[0], "bias": rw[1]},
+        "excite": {"kernel": ew[0], "bias": ew[1]},
+    }
+    mb_p["project"], mb_s["project"] = _convbn(q, filters, pred_ch)
+    params["mbconv"], stats["mbconv"] = mb_p, mb_s
+    if with_pred:
+        pw = q.take("conv", (1, 1, pred_ch, pred_ch))
+        params["pred"] = {"kernel": pw[0]}
+    return params, stats
+
+
+def test_full_detector_matches_reference(tmp_path):
+    num_classes, size = 2, 96
+    pred_ch = 3 * (5 + num_classes)
+    ref = _build_reference(num_classes, size)
+
+    # ---- backbone: legacy-layout H5 -> the real importer ----
+    from test_keras_crossval import _write_legacy_h5
+
+    backbone_layers = [l for l in ref.layers if _is_backbone(l.name)]
+    shim = types.SimpleNamespace(layers=backbone_layers)
+    h5 = str(tmp_path / "ref_backbone.h5")
+    _write_legacy_h5(shim, h5)
+
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.utils.keras_import import load_backbone_weights
+
+    det = build_detector("mobilenetv2x75", num_classes=num_classes)
+    v = det.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), False)
+    v = load_backbone_weights(v, h5, "mobilenetv2x75")
+    params = jax.device_get(v["params"])
+    stats = jax.device_get(v["batch_stats"])
+
+    # ---- RFCR + neck: execution-order + shape-matched transfer ----
+    q = _Queues(ref)
+    # RFCR collect convs (reference model.py:152-155): created b1,b2,b3,
+    # b4; b3c/b4c share kernel shape (both 24ch in) so disambiguate by
+    # input resolution (/8 vs /16).
+    taps = [120, 72, 24, 24]
+    for i, cin in enumerate(taps):
+        w = q.take("conv", (1, 1, cin, 48))
+        params["rfcr"][f"collect_{i + 1}"]["kernel"] = w[0]
+    ws_layer = [l for l in ref.layers if "weighted_sum" in l.name]
+    assert len(ws_layer) == 1
+    params["rfcr"]["fuse_weights"]["alpha"] = ws_layer[0].get_weights()[0]
+    fc_p, fc_s = {}, {}
+    fc_p["depthwise"], fc_s["depthwise"] = _convbn(q, 48, 48, k=5, dw=True)
+    fc_p["pointwise"], fc_s["pointwise"] = _convbn(q, 48, 96)
+    params["rfcr"]["fuse_conv"] = fc_p
+    stats["rfcr"]["fuse_conv"] = fc_s
+
+    neck_p, neck_s = params["neck"], stats["neck"]
+    rf1, rf2, rf3 = 120 + 96, 72 + 96, 24 + 96  # RFCR concat widths
+
+    def put_head(name, cin, filters, with_pred):
+        p, s = _lite_head(q, cin, filters, pred_ch, with_pred)
+        neck_p[name], neck_s[name] = p, s
+
+    def put_squeeze(name, cin, cout, named_layer=None):
+        if named_layer is not None:
+            w = [l for l in ref.layers if l.name == named_layer + "_conv"][0].get_weights()
+            b = [l for l in ref.layers if l.name == named_layer + "_BN"][0].get_weights()
+            assert tuple(w[0].shape) == (1, 1, cin, cout)
+        else:
+            w = q.take("conv", (1, 1, cin, cout))
+            b = q.take("bn", (cout,))
+        p, s = _bn(b)
+        neck_p[name] = {"conv": {"kernel": w[0]}, "bn": p}
+        neck_s[name] = {"bn": s}
+
+    # NB: the head trunk leaves the MBConv at pred_ch channels (the
+    # reference quirk docs/parity.md notes), so every squeeze conv reads
+    # pred_ch in.
+    put_head("fpn_head_32", rf1, 512, False)
+    put_squeeze("fpn_squeeze_32", pred_ch, 256, named_layer="block_20")
+    put_head("fpn_head_16", 256 + rf2, 256, False)
+    put_squeeze("fpn_squeeze_16", pred_ch, 128, named_layer="block_24")
+    put_head("fpn_head_8", 128 + rf3, 128, False)
+    put_head("pan_head_8", pred_ch, 128, True)
+    put_squeeze("pan_squeeze_8", pred_ch, 128)
+    put_head("pan_head_16", 128 + pred_ch, 256, True)
+    put_squeeze("pan_squeeze_16", pred_ch, 256)
+    put_head("pan_head_32", 256 + pred_ch, 512, True)
+    assert not q.q["dw"], [l.name for l in q.q["dw"]]
+    assert not q.q["conv"], [l.name for l in q.q["conv"]]
+    assert not q.q["bn"], [l.name for l in q.q["bn"]]
+
+    # ---- forward parity ----
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, size, size, 3).astype(np.float32)
+    ref_out = ref(x, training=False)
+    ours = det.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(x), False)
+    for i, (ro, oo) in enumerate(zip(ref_out, ours)):
+        ro = np.asarray(ro)
+        oo = np.asarray(oo)
+        assert ro.shape == oo.shape, (i, ro.shape, oo.shape)
+        np.testing.assert_allclose(
+            oo, ro, atol=2e-4, rtol=1e-4,
+            err_msg=f"pyramid level {i} (y{i + 1})",
+        )
