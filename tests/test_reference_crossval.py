@@ -2,11 +2,15 @@
 
 Builds the reference's own ``yolov3_body`` (reference:
 code/yolo3/model.py:170-342) from /root/reference — executed read-only
-at test time under Keras 3 with three inert shims (absent
+at test time under Keras 3 with inert shims (absent
 neural_structured_learning stubbed, the Keras-2-only ``layers=``
-injection dropped, ImageNet download skipped) — transfers its randomly
-initialized weights layer-for-layer into THIS framework's detector, and
-requires the three raw output pyramids to agree on a fixed input.
+injection dropped, ImageNet download skipped, DropConnect pinned to its
+eval semantics) — transfers its randomly initialized weights
+layer-for-layer into THIS framework's detector, and requires the three
+raw output pyramids to agree on a fixed input. Covered backbones:
+MobileNetV2x0.75 (flagship) and EfficientNetB3 (the paper's heavy
+config, exercising the qubvel positional-name importer against the
+actual vendored implementation).
 
 This is the BASELINE.md "numerical parity" acceptance: backbone + RFCR
 (WeightedSum fusion + separable conv) + FPN/PANet lite heads validated
@@ -35,7 +39,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _build_reference(num_classes=2, size=96):
+def _build_reference(backbone, num_classes=2, size=96):
     if "neural_structured_learning" not in sys.modules:
         nsl = types.ModuleType("neural_structured_learning")
         nsl.configs = types.SimpleNamespace(make_adv_reg_config=lambda **k: None)
@@ -47,28 +51,38 @@ def _build_reference(num_classes=2, size=96):
         sys.modules["tqdm"] = tq
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
-    # Keras 3 rejects the keras-2 `layers=` injection the reference's
-    # override shim uses (BN-momentum only — irrelevant in eval), and
-    # this container has no egress for the ImageNet download.
-    orig = tf.keras.applications.MobileNetV2
+    # Keras-3 shims, all inert in eval: the keras-2 `layers=` injection
+    # only set BN momentum; weights download needs egress; DropConnect's
+    # in_train_phase is keras-2 API and is identity at inference.
+    import yolo3.efficientnet as eff
+    import yolo3.model as ym
 
-    def patched(*a, **kw):
+    eff.DropConnect.call = lambda self, inputs, training=None: inputs
+    orig_mnv2 = tf.keras.applications.MobileNetV2
+
+    def patched_mnv2(*a, **kw):
         kw.pop("layers", None)
         kw["weights"] = None
-        return orig(*a, **kw)
+        return orig_mnv2(*a, **kw)
 
-    tf.keras.applications.MobileNetV2 = patched
+    orig_b3 = eff.EfficientNetB3
+
+    def patched_b3(*a, **kw):
+        kw["weights"] = None
+        return orig_b3(*a, **kw)
+
+    tf.keras.applications.MobileNetV2 = patched_mnv2
+    ym.EfficientNetB3 = patched_b3
     try:
-        from yolo3.model import yolov3_body
-
         tf.random.set_seed(0)
         inputs = tf.keras.Input((size, size, 3))
-        return yolov3_body(inputs, "mobilenetv2x75", 3, num_classes=num_classes)
+        return ym.yolov3_body(inputs, backbone, 3, num_classes=num_classes)
     finally:
-        tf.keras.applications.MobileNetV2 = orig
+        tf.keras.applications.MobileNetV2 = orig_mnv2
+        ym.EfficientNetB3 = orig_b3
 
 
-def _is_backbone(name):
+def _is_mnv2_backbone(name):
     if name in ("Conv1", "bn_Conv1", "Conv_1", "Conv_1_bn"):
         return True
     if name.startswith("expanded_conv_"):
@@ -88,12 +102,12 @@ def _suffix_index(name, prefix):
 
 
 class _Queues:
-    """Auto-named neck layers in creation order (the numeric suffix IS
-    the creation counter; dead FPN pred convs consume indices but are
-    pruned from the live graph, which only shifts numbers)."""
+    """Auto-named layers in creation order (the numeric suffix IS the
+    creation counter; dead FPN pred convs and the pruned second backbone
+    consume indices but are absent from the live graph, which only
+    shifts numbers)."""
 
     def __init__(self, model):
-        self.q = {"conv": [], "dw": [], "bn": []}
         order = {"conv": [], "dw": [], "bn": []}
         for l in model.layers:
             for key, prefix, cls in (
@@ -105,11 +119,37 @@ class _Queues:
                 if i is not None and isinstance(l, cls):
                     order[key].append((i, l))
                     break
+        self.q = {k: sorted(v, key=lambda t: t[0]) for k, v in order.items()}
+
+    def drop_before(self, idx_by_key):
+        """Discard entries created before the neck starts (the backbone's
+        share of the auto-name space)."""
+        for key, idx in idx_by_key.items():
+            self.q[key] = [(i, l) for i, l in self.q[key] if i >= idx]
+
+    def neck_starts(self):
+        """First auto-name index of the NECK per prefix. The reference
+        builds backbone -> a second (transfer) backbone -> neck; the
+        second copy is pruned from the live graph but consumed a full
+        backbone's worth of auto-name indices, so live indices show one
+        huge gap exactly at the backbone/neck boundary. (MNv2 backbones
+        use custom names — queues are all-neck and gaps stay tiny, from
+        the pruned FPN pred convs only.)"""
+        out = {}
         for key in self.q:
-            self.q[key] = [l for _, l in sorted(order[key], key=lambda t: t[0])]
+            idxs = [i for i, _ in self.q[key]]
+            if not idxs:
+                out[key] = 0
+                continue
+            best_gap, boundary = 0, idxs[0]
+            for a, b in zip(idxs, idxs[1:]):
+                if b - a > best_gap:
+                    best_gap, boundary = b - a, b
+            out[key] = boundary if best_gap > 10 else idxs[0]
+        return out
 
     def take(self, key, expect_shape):
-        l = self.q[key].pop(0)
+        _, l = self.q[key].pop(0)
         w = l.get_weights()
         assert tuple(w[0].shape) == tuple(expect_shape), (
             key, l.name, w[0].shape, expect_shape
@@ -122,7 +162,6 @@ def _bn(w):
 
 
 def _convbn(q, cin, cout, k=1, dw=False):
-    """Pull a ConvBN pair (our {conv|dwconv, bn} node)."""
     if dw:
         kw = q.take("dw", (k, k, cin, 1))
         kernel = np.transpose(kw[0], (0, 1, 3, 2))
@@ -158,34 +197,69 @@ def _lite_head(q, cin, filters, pred_ch, with_pred):
     return params, stats
 
 
-def test_full_detector_matches_reference(tmp_path):
-    num_classes, size = 2, 96
-    pred_ch = 3 * (5 + num_classes)
-    ref = _build_reference(num_classes, size)
+# backbone name -> tap channel widths [b1, b2, b3, b4]
+# (MNv2 x0.75: block_15/12/5/2_add; B3: add_17/12/4/2 = stage-5/4/2/1
+# ends after round_filters(x1.2) = 232/136/48/32)
+CASES = {
+    "mobilenetv2x75": [120, 72, 24, 24],
+    "efficientnetb3": [232, 136, 48, 32],
+}
 
-    # ---- backbone: legacy-layout H5 -> the real importer ----
+
+def _import_backbone(ref, backbone, det_vars, tmp_path, neck_start):
+    """Route the reference model's backbone weights through the REAL H5
+    importer (name-based for MNv2, order-based for qubvel EffNet)."""
     from test_keras_crossval import _write_legacy_h5
 
-    backbone_layers = [l for l in ref.layers if _is_backbone(l.name)]
-    shim = types.SimpleNamespace(layers=backbone_layers)
-    h5 = str(tmp_path / "ref_backbone.h5")
-    _write_legacy_h5(shim, h5)
-
-    from yoloret_tpu.nn import build_detector
     from yoloret_tpu.utils.keras_import import load_backbone_weights
 
-    det = build_detector("mobilenetv2x75", num_classes=num_classes)
+    if backbone.startswith("mobilenetv2"):
+        layers = [l for l in ref.layers if _is_mnv2_backbone(l.name)]
+    else:
+        # qubvel backbone layers are auto-named; everything created
+        # before the neck's first layer index belongs to it
+        layers = []
+        for l in ref.layers:
+            for prefix, key in (
+                ("depthwise_conv2d", "dw"),
+                ("conv2d", "conv"),
+                ("batch_normalization", "bn"),
+            ):
+                i = _suffix_index(l.name, prefix)
+                if i is not None:
+                    if i < neck_start.get(key, 10**9):
+                        layers.append(l)
+                    break
+    shim = types.SimpleNamespace(layers=layers)
+    h5 = str(tmp_path / "ref_backbone.h5")
+    _write_legacy_h5(shim, h5)
+    return load_backbone_weights(det_vars, h5, backbone)
+
+
+@pytest.mark.parametrize("backbone", sorted(CASES))
+def test_full_detector_matches_reference(tmp_path, backbone):
+    num_classes, size = 2, 96
+    pred_ch = 3 * (5 + num_classes)
+    taps = CASES[backbone]
+    ref = _build_reference(backbone, num_classes, size)
+
+    q = _Queues(ref)
+    neck_start = q.neck_starts()
+    # sanity: the neck's first conv must be the deepest-tap RFCR collect
+    first_neck_conv = next(l for i, l in q.q["conv"] if i >= neck_start["conv"])
+    assert tuple(first_neck_conv.get_weights()[0].shape) == (1, 1, taps[0], 48)
+
+    from yoloret_tpu.nn import build_detector
+
+    det = build_detector(backbone, num_classes=num_classes)
     v = det.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), False)
-    v = load_backbone_weights(v, h5, "mobilenetv2x75")
+    v = _import_backbone(ref, backbone, v, tmp_path, neck_start)
     params = jax.device_get(v["params"])
     stats = jax.device_get(v["batch_stats"])
 
-    # ---- RFCR + neck: execution-order + shape-matched transfer ----
-    q = _Queues(ref)
-    # RFCR collect convs (reference model.py:152-155): created b1,b2,b3,
-    # b4; b3c/b4c share kernel shape (both 24ch in) so disambiguate by
-    # input resolution (/8 vs /16).
-    taps = [120, 72, 24, 24]
+    q.drop_before(neck_start)
+
+    # ---- RFCR (reference model.py:146-168) ----
     for i, cin in enumerate(taps):
         w = q.take("conv", (1, 1, cin, 48))
         params["rfcr"][f"collect_{i + 1}"]["kernel"] = w[0]
@@ -198,8 +272,9 @@ def test_full_detector_matches_reference(tmp_path):
     params["rfcr"]["fuse_conv"] = fc_p
     stats["rfcr"]["fuse_conv"] = fc_s
 
+    # ---- neck (reference model.py:228-323) ----
     neck_p, neck_s = params["neck"], stats["neck"]
-    rf1, rf2, rf3 = 120 + 96, 72 + 96, 24 + 96  # RFCR concat widths
+    rf1, rf2, rf3 = taps[0] + 96, taps[1] + 96, taps[2] + 96
 
     def put_head(name, cin, filters, with_pred):
         p, s = _lite_head(q, cin, filters, pred_ch, with_pred)
@@ -218,7 +293,7 @@ def test_full_detector_matches_reference(tmp_path):
         neck_s[name] = {"bn": s}
 
     # NB: the head trunk leaves the MBConv at pred_ch channels (the
-    # reference quirk docs/parity.md notes), so every squeeze conv reads
+    # reference quirk docs/parity.md notes), so every squeeze reads
     # pred_ch in.
     put_head("fpn_head_32", rf1, 512, False)
     put_squeeze("fpn_squeeze_32", pred_ch, 256, named_layer="block_20")
@@ -230,9 +305,9 @@ def test_full_detector_matches_reference(tmp_path):
     put_head("pan_head_16", 128 + pred_ch, 256, True)
     put_squeeze("pan_squeeze_16", pred_ch, 256)
     put_head("pan_head_32", 256 + pred_ch, 512, True)
-    assert not q.q["dw"], [l.name for l in q.q["dw"]]
-    assert not q.q["conv"], [l.name for l in q.q["conv"]]
-    assert not q.q["bn"], [l.name for l in q.q["bn"]]
+    assert not q.q["dw"], [l.name for _, l in q.q["dw"]]
+    assert not q.q["conv"], [l.name for _, l in q.q["conv"]]
+    assert not q.q["bn"], [l.name for _, l in q.q["bn"]]
 
     # ---- forward parity ----
     rng = np.random.RandomState(0)
@@ -246,5 +321,5 @@ def test_full_detector_matches_reference(tmp_path):
         assert ro.shape == oo.shape, (i, ro.shape, oo.shape)
         np.testing.assert_allclose(
             oo, ro, atol=2e-4, rtol=1e-4,
-            err_msg=f"pyramid level {i} (y{i + 1})",
+            err_msg=f"{backbone} pyramid level {i} (y{i + 1})",
         )
