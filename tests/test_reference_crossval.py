@@ -45,10 +45,6 @@ def _build_reference(backbone, num_classes=2, size=96):
         nsl.configs = types.SimpleNamespace(make_adv_reg_config=lambda **k: None)
         nsl.keras = types.SimpleNamespace(adversarial_loss=lambda *a, **k: 0.0)
         sys.modules["neural_structured_learning"] = nsl
-    if "tqdm" not in sys.modules:
-        tq = types.ModuleType("tqdm")
-        tq.tqdm = lambda x, **k: x
-        sys.modules["tqdm"] = tq
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     # Keras-3 shims, all inert in eval: the keras-2 `layers=` injection

@@ -39,10 +39,6 @@ def _ref_modules():
         nsl.configs = types.SimpleNamespace(make_adv_reg_config=lambda **k: None)
         nsl.keras = types.SimpleNamespace(adversarial_loss=lambda *a, **k: 0.0)
         sys.modules["neural_structured_learning"] = nsl
-    if "tqdm" not in sys.modules:
-        tq = types.ModuleType("tqdm")
-        tq.tqdm = lambda x, **k: x
-        sys.modules["tqdm"] = tq
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import yolo3.model as ref_model
@@ -132,6 +128,21 @@ def test_loss_matches_reference(rng):
         assert float(ours.total) == pytest.approx(ref_loss, rel=2e-5), (
             l, float(ours.total), ref_loss,
         )
+
+
+def test_voc_ap_matches_reference(rng):
+    """AP integration vs the reference's _voc_ap (map.py:16-32)."""
+    _ref_modules()
+    from yolo3.map import MAPCallback
+
+    from yoloret_tpu.eval import voc_ap
+
+    for _ in range(10):
+        n = rng.randint(1, 30)
+        rec = np.sort(rng.rand(n))
+        prec = rng.rand(n)
+        theirs = MAPCallback._voc_ap(None, rec.tolist(), prec.tolist())
+        assert float(voc_ap(rec, prec)) == pytest.approx(float(theirs), abs=1e-9)
 
 
 def test_postprocess_matches_reference_yolo_eval(rng):
