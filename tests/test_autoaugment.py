@@ -85,19 +85,55 @@ def test_translate_only_bboxes_moves_content_not_box():
     assert (out[10, 10] == 200).all()
 
 
-def test_policy_v0_runs_and_returns_valid_boxes():
+@pytest.mark.parametrize("policy,n_sub", [
+    ("v0", 5), ("v1", 20), ("v2", 15), ("v3", 15),
+])
+def test_policies_run_and_return_valid_boxes(policy, n_sub):
+    """Every policy (reference autoaugment_v1.py:36-144) executes over
+    enough draws to touch every sub-policy, producing valid outputs."""
+    assert len(POLICIES[policy]) == n_sub
     rng = np.random.RandomState(1)
-    for _ in range(20):  # cycle through sub-policies / probabilities
+    for _ in range(3 * n_sub):
         img, boxes = _scene()
         out_img, out_boxes = distort_image_with_autoaugment(
-            img, boxes, policy="v0", rng=rng
+            img, boxes, policy=policy, rng=rng
         )
         assert out_img.dtype == np.uint8 and out_img.shape == img.shape
         if len(out_boxes):
             assert (out_boxes[:, 2] > out_boxes[:, 0]).all()
             assert (out_boxes[:, 3] > out_boxes[:, 1]).all()
             assert out_boxes[:, 0].min() >= 0 and out_boxes[:, 2].max() <= 160
-    assert len(POLICIES["v0"]) == 5
+
+
+def test_new_pixel_ops():
+    from yoloret_tpu.tools.autoaugment import (
+        _autocontrast,
+        _posterize,
+        _solarize_add,
+    )
+
+    img, _ = _scene()
+    ac = _autocontrast(img)
+    assert ac.shape == img.shape and ac.dtype == np.uint8
+    post = _posterize(img, 2)
+    # 2 bits kept: at most 4 distinct values per channel
+    assert len(np.unique(post)) <= 4 * 3
+    sa = _solarize_add(img, 50, threshold=210)
+    # dark background (200 < 210) shifted up by 50; bright red channel kept
+    assert sa[0, 0, 0] == 250 and sa[45, 50, 0] == 255
+
+
+def test_only_bbox_ops_keep_outside_pixels():
+    from yoloret_tpu.tools.autoaugment import _apply_only_bboxes, _bbox_cutout
+
+    img, boxes = _scene()
+    rng = np.random.RandomState(0)
+    out = _apply_only_bboxes(img, boxes, 1.0, rng, lambda r, _rng: r[:, ::-1])
+    assert (out[10, 10] == 200).all()  # outside untouched
+    cut = _bbox_cutout(img, boxes, 0.5, 1.0, np.random.RandomState(0))
+    assert (cut[10, 10] == 200).all()
+    x1, y1, x2, y2 = (int(v) for v in boxes[0, :4])
+    assert (cut[y1:y2, x1:x2] == 128).any()  # content cut inside the box
 
 
 def test_policy_deterministic_with_seed():

@@ -114,33 +114,93 @@ def _cutout(image, pad: int, rng):
     return out
 
 
-def _translate_only_bboxes(image, boxes, dy_px: float, prob: float, rng):
-    """Shift the pixel CONTENT inside each gt box vertically (boxes stay
-    put) — the reference's TranslateY_Only_BBoxes (applied per box with
-    ``prob``)."""
+def _apply_only_bboxes(image, boxes, prob, rng, region_fn):
+    """Apply ``region_fn(region, rng) -> region`` to the pixel CONTENT
+    inside each gt box (boxes stay put), each with probability ``prob``
+    — the reference's *_Only_BBoxes machinery
+    (autoaugment_v1.py `_apply_multi_bbox_augmentation`)."""
     out = image.copy()
-    h, _w = image.shape[:2]
+    h, w = image.shape[:2]
     for b in boxes:
         if rng.rand() >= prob:
             continue
         x0, y0, x1, y1 = (int(round(v)) for v in b[:4])
         x0, y0 = max(0, x0), max(0, y0)
-        x1, y1 = min(out.shape[1], x1), min(h, y1)
+        x1, y1 = min(w, x1), min(h, y1)
         if x1 <= x0 or y1 <= y0:
             continue
-        region = out[y0:y1, x0:x1].copy()
-        shifted = np.full_like(region, GRAY)
-        d = int(round(dy_px))
-        rh = y1 - y0
-        if d >= rh or -d >= rh:
-            out[y0:y1, x0:x1] = shifted
-            continue
-        if d >= 0:
-            shifted[d:] = region[: rh - d]
-        else:
-            shifted[: rh + d] = region[-d:]
-        out[y0:y1, x0:x1] = shifted
+        out[y0:y1, x0:x1] = region_fn(out[y0:y1, x0:x1].copy(), rng)
     return out
+
+
+def _shift_content_y(region, d):
+    shifted = np.full_like(region, GRAY)
+    rh = region.shape[0]
+    d = int(round(d))
+    if d >= rh or -d >= rh:
+        return shifted
+    if d >= 0:
+        shifted[d:] = region[: rh - d]
+    else:
+        shifted[: rh + d] = region[-d:]
+    return shifted
+
+
+def _translate_only_bboxes(image, boxes, dy_px: float, prob: float, rng):
+    """TranslateY over box content (the v0 workhorse op)."""
+    return _apply_only_bboxes(
+        image, boxes, prob, rng, lambda r, _rng: _shift_content_y(r, dy_px)
+    )
+
+
+def _shear_region(region, s, axis):
+    from PIL import Image
+
+    rh, rw = region.shape[:2]
+    m = np.array([[1.0, s if axis == "x" else 0.0, 0.0],
+                  [s if axis == "y" else 0.0, 1.0, 0.0]])
+    m3 = np.vstack([m, [0, 0, 1]])
+    inv = np.linalg.inv(m3)
+    out = Image.fromarray(region).transform(
+        (rw, rh), Image.AFFINE, data=tuple(inv[:2].ravel()),
+        resample=Image.BILINEAR, fillcolor=(GRAY, GRAY, GRAY),
+    )
+    return np.asarray(out)
+
+
+def _bbox_cutout(image, boxes, pad_fraction, prob, rng):
+    """Cut a gray region INSIDE each box, sized by a fraction of the box
+    (reference _bbox_cutout semantics)."""
+
+    def fn(region, rng):
+        rh, rw = region.shape[:2]
+        ph = max(1, int(rh * pad_fraction))
+        pw = max(1, int(rw * pad_fraction))
+        cy, cx = rng.randint(0, rh), rng.randint(0, rw)
+        region[max(0, cy - ph):cy + ph, max(0, cx - pw):cx + pw] = GRAY
+        return region
+
+    return _apply_only_bboxes(image, boxes, prob, rng, fn)
+
+
+def _autocontrast(image):
+    from PIL import Image, ImageOps
+
+    return np.asarray(ImageOps.autocontrast(Image.fromarray(image)))
+
+
+def _posterize(image, bits):
+    from PIL import Image, ImageOps
+
+    return np.asarray(
+        ImageOps.posterize(Image.fromarray(image), int(np.clip(bits, 1, 8)))
+    )
+
+
+def _solarize_add(image, addition, threshold=128):
+    img = image.astype(np.int64)
+    added = np.clip(img + int(addition), 0, 255)
+    return np.where(img < threshold, added, img).astype(np.uint8)
 
 
 # ---- level -> argument conversions (TF autoaugment conventions) ---------
@@ -191,15 +251,66 @@ def _make_ops() -> Dict[str, Callable]:
             _enhance(im, "Brightness", _lvl_to_enhance(lvl)), bx),
         "Cutout": lambda im, bx, lvl, rng: (
             _cutout(im, int(lvl / _MAX_LEVEL * 100), rng), bx),
-        "TranslateY_Only_BBoxes": lambda im, bx, lvl, rng: (
+        "AutoContrast": lambda im, bx, lvl, rng: (_autocontrast(im), bx),
+        "Posterize": lambda im, bx, lvl, rng: (
+            _posterize(im, int(lvl / _MAX_LEVEL * 4)), bx),
+        "SolarizeAdd": lambda im, bx, lvl, rng: (
+            _solarize_add(im, lvl / _MAX_LEVEL * 110), bx),
+        "BBox_Cutout": lambda im, bx, lvl, rng: (
+            _bbox_cutout(im, bx, lvl / _MAX_LEVEL * 0.75, 1.0, rng), bx),
+        # *_Only_BBoxes ops transform the CONTENT of each gt box (boxes
+        # stay put); the sub-policy probability is applied PER BOX, as
+        # the reference's _apply_multi_bbox_augmentation does — the
+        # policy runner passes it through instead of coin-flipping the
+        # whole op (see distort_image_with_autoaugment).
+        "TranslateY_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
             _translate_only_bboxes(
-                im, bx, _lvl_to_translate(lvl, rng, max_px=120.0), 1.0, rng),
+                im, bx, _lvl_to_translate(lvl, rng, max_px=120.0), prob, rng),
+            bx),
+        "ShearX_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
+            _apply_only_bboxes(
+                im, bx, prob, rng,
+                lambda r, _rng: _shear_region(r, _lvl_to_shear(lvl, rng), "x")),
+            bx),
+        "ShearY_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
+            _apply_only_bboxes(
+                im, bx, prob, rng,
+                lambda r, _rng: _shear_region(r, _lvl_to_shear(lvl, rng), "y")),
+            bx),
+        "Flip_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
+            _apply_only_bboxes(im, bx, prob, rng, lambda r, _rng: r[:, ::-1]),
+            bx),
+        "Equalize_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
+            _apply_only_bboxes(im, bx, prob, rng, lambda r, _rng: _equalize(r)),
+            bx),
+        "Cutout_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
+            _apply_only_bboxes(
+                im, bx, prob, rng,
+                lambda r, _rng: _region_cutout(r, int(lvl / _MAX_LEVEL * 50), _rng)),
             bx),
     }
 
 
-# Policy v0 (reference autoaugment_v1.py policy_v0; Zoph et al. Table 8):
-# 5 sub-policies of (op, probability, magnitude) pairs.
+ONLY_BBOX_OPS = frozenset(
+    n for n in (
+        "TranslateY_Only_BBoxes", "ShearX_Only_BBoxes", "ShearY_Only_BBoxes",
+        "Flip_Only_BBoxes", "Equalize_Only_BBoxes", "Cutout_Only_BBoxes",
+    )
+)
+
+
+def _region_cutout(region, pad, rng):
+    rh, rw = region.shape[:2]
+    if pad <= 0 or rh == 0 or rw == 0:
+        return region
+    cy, cx = rng.randint(0, rh), rng.randint(0, rw)
+    region[max(0, cy - pad):cy + pad, max(0, cx - pad):cx + pad] = GRAY
+    return region
+
+
+# Detection-AutoAugment policies (reference autoaugment_v1.py
+# policy_v0/v1/v2/v3/vtest at :36-144; Zoph et al.): sub-policies of
+# (op, probability, magnitude) tuples.
 POLICIES: Dict[str, List[List[Tuple[str, float, int]]]] = {
     "v0": [
         [("TranslateX_BBox", 0.6, 4), ("Equalize", 0.8, 10)],
@@ -207,6 +318,69 @@ POLICIES: Dict[str, List[List[Tuple[str, float, int]]]] = {
         [("Sharpness", 0.0, 8), ("ShearX_BBox", 0.4, 0)],
         [("ShearY_BBox", 1.0, 2), ("TranslateY_Only_BBoxes", 0.6, 6)],
         [("Rotate_BBox", 0.6, 10), ("Color", 1.0, 6)],
+    ],
+    "v1": [
+        [("TranslateX_BBox", 0.6, 4), ("Equalize", 0.8, 10)],
+        [("TranslateY_Only_BBoxes", 0.2, 2), ("Cutout", 0.8, 8)],
+        [("Sharpness", 0.0, 8), ("ShearX_BBox", 0.4, 0)],
+        [("ShearY_BBox", 1.0, 2), ("TranslateY_Only_BBoxes", 0.6, 6)],
+        [("Rotate_BBox", 0.6, 10), ("Color", 1.0, 6)],
+        [("Color", 0.0, 0), ("ShearX_Only_BBoxes", 0.8, 4)],
+        [("ShearY_Only_BBoxes", 0.8, 2), ("Flip_Only_BBoxes", 0.0, 10)],
+        [("Equalize", 0.6, 10), ("TranslateX_BBox", 0.2, 2)],
+        [("Color", 1.0, 10), ("TranslateY_Only_BBoxes", 0.4, 6)],
+        [("Rotate_BBox", 0.8, 10), ("Contrast", 0.0, 10)],
+        [("Cutout", 0.2, 2), ("Brightness", 0.8, 10)],
+        [("Color", 1.0, 6), ("Equalize", 1.0, 2)],
+        [("Cutout_Only_BBoxes", 0.4, 6), ("TranslateY_Only_BBoxes", 0.8, 2)],
+        [("Color", 0.2, 8), ("Rotate_BBox", 0.8, 10)],
+        [("Sharpness", 0.4, 4), ("TranslateY_Only_BBoxes", 0.0, 4)],
+        [("Sharpness", 1.0, 4), ("SolarizeAdd", 0.4, 4)],
+        [("Rotate_BBox", 1.0, 8), ("Sharpness", 0.2, 8)],
+        [("ShearY_BBox", 0.6, 10), ("Equalize_Only_BBoxes", 0.6, 8)],
+        [("ShearX_BBox", 0.2, 6), ("TranslateY_Only_BBoxes", 0.2, 10)],
+        [("SolarizeAdd", 0.6, 8), ("Brightness", 0.8, 10)],
+    ],
+    "v2": [
+        [("Color", 0.0, 6), ("Cutout", 0.6, 8), ("Sharpness", 0.4, 8)],
+        [("Rotate_BBox", 0.4, 8), ("Sharpness", 0.4, 2),
+         ("Rotate_BBox", 0.8, 10)],
+        [("TranslateY_BBox", 1.0, 8), ("AutoContrast", 0.8, 2)],
+        [("AutoContrast", 0.4, 6), ("ShearX_BBox", 0.8, 8),
+         ("Brightness", 0.0, 10)],
+        [("SolarizeAdd", 0.2, 6), ("Contrast", 0.0, 10),
+         ("AutoContrast", 0.6, 0)],
+        [("Cutout", 0.2, 0), ("Solarize", 0.8, 8), ("Color", 1.0, 4)],
+        [("TranslateY_BBox", 0.0, 4), ("Equalize", 0.6, 8),
+         ("Solarize", 0.0, 10)],
+        [("TranslateY_BBox", 0.2, 2), ("ShearY_BBox", 0.8, 8),
+         ("Rotate_BBox", 0.8, 8)],
+        [("Cutout", 0.8, 8), ("Brightness", 0.8, 8), ("Cutout", 0.2, 2)],
+        [("Color", 0.8, 4), ("TranslateY_BBox", 1.0, 6), ("Rotate_BBox", 0.6, 6)],
+        [("Rotate_BBox", 0.6, 10), ("BBox_Cutout", 1.0, 4), ("Cutout", 0.2, 8)],
+        [("Rotate_BBox", 0.0, 0), ("Equalize", 0.6, 6), ("ShearY_BBox", 0.6, 8)],
+        [("Brightness", 0.8, 8), ("AutoContrast", 0.4, 2),
+         ("Brightness", 0.2, 2)],
+        [("TranslateY_BBox", 0.4, 8), ("Solarize", 0.4, 6),
+         ("SolarizeAdd", 0.2, 10)],
+        [("Contrast", 1.0, 10), ("SolarizeAdd", 0.2, 8), ("Equalize", 0.2, 4)],
+    ],
+    "v3": [
+        [("Posterize", 0.8, 2), ("TranslateX_BBox", 1.0, 8)],
+        [("BBox_Cutout", 0.2, 10), ("Sharpness", 1.0, 8)],
+        [("Rotate_BBox", 0.6, 8), ("Rotate_BBox", 0.8, 10)],
+        [("Equalize", 0.8, 10), ("AutoContrast", 0.2, 10)],
+        [("SolarizeAdd", 0.2, 2), ("TranslateY_BBox", 0.2, 8)],
+        [("Sharpness", 0.0, 2), ("Color", 0.4, 8)],
+        [("Equalize", 1.0, 8), ("TranslateY_BBox", 1.0, 8)],
+        [("Posterize", 0.6, 2), ("Rotate_BBox", 0.0, 10)],
+        [("AutoContrast", 0.6, 0), ("Rotate_BBox", 1.0, 6)],
+        [("Equalize", 0.0, 4), ("Cutout", 0.8, 10)],
+        [("Brightness", 1.0, 2), ("TranslateY_BBox", 1.0, 6)],
+        [("Contrast", 0.0, 2), ("ShearY_BBox", 0.8, 0)],
+        [("AutoContrast", 0.8, 10), ("Contrast", 0.2, 10)],
+        [("Rotate_BBox", 1.0, 10), ("Cutout", 1.0, 10)],
+        [("SolarizeAdd", 0.8, 6), ("Equalize", 0.8, 8)],
     ],
     # deterministic single-op policy for tests/debugging
     "test": [[("TranslateX_BBox", 1.0, 4)]],
@@ -231,6 +405,11 @@ def distort_image_with_autoaugment(
     image = np.ascontiguousarray(image)
     boxes = np.asarray(boxes, np.float64).reshape(-1, 5)
     for name, prob, level in sub:
+        if name in ONLY_BBOX_OPS:
+            # probability applies PER BOX inside the op (reference
+            # _apply_multi_bbox_augmentation semantics)
+            image, boxes = ops[name](image, boxes, float(level), rng, prob=prob)
+            continue
         if rng.rand() >= prob:
             continue
         image, boxes = ops[name](image, boxes, float(level), rng)
