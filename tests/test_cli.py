@@ -29,12 +29,13 @@ def test_flag_overrides():
 def test_round2_flags():
     args = build_parser().parse_args(
         ["--early_stopping", "--early_stopping_patience=7", "--map_every=5",
-         "--tb_images=2", "--exact_nms"]
+         "--tb_images=2", "--exact_nms", "--autoaugment_policy=v2"]
     )
     cfg = args_to_config(args)
     assert cfg.early_stopping and cfg.early_stopping_patience == 7
     assert cfg.map_every == 5 and cfg.tb_images == 2
     assert cfg.exact_nms
+    assert cfg.autoaugment_policy == "v2"
     # all default off
     d = args_to_config(build_parser().parse_args([]))
     assert not d.early_stopping and d.map_every == 0

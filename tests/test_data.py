@@ -159,6 +159,39 @@ def test_pipeline_train_batches(tiny_dataset):
     assert total_pos > 0
 
 
+def test_pipeline_online_autoaugment(tiny_dataset):
+    """aa_policy applies AutoAugment per sample on host: batches keep
+    their static shapes, box geometry stays sane, and a fixed seed is
+    deterministic across fresh builds."""
+    def build():
+        return Dataset(
+            tiny_dataset, batch_size=2, anchors=ANCHORS, num_classes=3,
+            input_hw=(64, 64), num_workers=2, seed=1, aa_policy="v0",
+        )
+
+    batches = list(build().build(epochs=2))
+    assert len(batches) == 4
+    for b in batches:
+        assert b["images"].shape == (2, 64, 64, 3)
+        gb = np.asarray(b["gt_boxes"])
+        gv = np.asarray(b["gt_valid"])
+        if gv.any():
+            valid_boxes = gb[gv]
+            assert np.all(valid_boxes >= -1e-5) and np.all(valid_boxes <= 1 + 1e-5)
+    again = list(build().build(epochs=2))
+    for a, b in zip(batches, again):
+        np.testing.assert_array_equal(np.asarray(a["images"]), np.asarray(b["images"]))
+        np.testing.assert_array_equal(np.asarray(a["gt_boxes"]), np.asarray(b["gt_boxes"]))
+    # eval mode ignores the policy (no augmentation at eval)
+    ds_eval = Dataset(
+        tiny_dataset, batch_size=2, anchors=ANCHORS, num_classes=3,
+        input_hw=(64, 64), num_workers=2, seed=1, aa_policy="v0",
+        mode=DatasetMode.TEST,
+    )
+    evb = next(iter(ds_eval.build(epochs=1)))
+    assert "image_hw" in evb
+
+
 def test_pipeline_tfrecord_source(tmp_path, rng):
     """Dataset reads TFRecord shards with the reference's Example schema."""
     import io

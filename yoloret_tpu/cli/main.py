@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int,
                    help="per-chip; global = batch_size * data-parallel size")
     p.add_argument("--epochs", type=int, nargs=2, metavar=("STAGE1", "STAGE2"))
+    p.add_argument("--autoaugment_policy", type=str,
+                   choices=["v0", "v1", "v2", "v3"],
+                   help="online AutoAugment-for-detection during training")
     p.add_argument("--multi_scale", type=int, nargs="+", metavar="SIZE",
                    help="train each epoch at a size cycled from this list "
                         "(multiples of 32), e.g. --multi_scale 288 320 352")
@@ -110,6 +113,7 @@ def args_to_config(args) -> RunConfig:
         "backbone input_size num_scales model train_dataset val_dataset "
         "test_dataset classes_path anchors_path batch_size box_loss class_loss use_adv "
         "use_ema resume truncate_block score_threshold nms_iou exact_nms "
+        "autoaugment_policy "
         "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "
         "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"

@@ -77,6 +77,10 @@ class RunConfig:
     max_boxes: int = 20
     augment: Optional[dict] = None  # AugmentConfig field overrides (e.g.
     # {"hue": 0.1, "min_scale": 0.5}); None = reference defaults
+    autoaugment_policy: Optional[str] = None  # online AutoAugment-for-
+    # detection policy ("v0".."v3") applied per training sample on host
+    # (tools/autoaugment.py). The reference only ships AutoAugment as an
+    # unused offline script; this wires it into the live pipeline.
     multi_scale: Optional[List[int]] = None  # e.g. [288, 320, 352]: each
     # epoch trains at a size sampled round-robin from this list (all
     # multiples of 32); one compiled step per size, fully-convolutional

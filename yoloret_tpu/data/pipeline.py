@@ -100,6 +100,11 @@ class Dataset:
     seed: int = 0
     shuffle: Optional[bool] = None
     augment_config: Optional[AugmentConfig] = None  # override augmentation
+    aa_policy: Optional[str] = None  # online AutoAugment-for-detection
+    # policy ("v0".."v3", tools/autoaugment.py) applied per sample on
+    # host AFTER decode, BEFORE the device affine chain; TRAIN mode
+    # only. The reference only ever shipped AutoAugment as an offline
+    # script — this is an extension.
     augment: AugmentConfig = field(init=False)
 
     def __post_init__(self):
@@ -166,9 +171,12 @@ class Dataset:
         valid[:n] = True
         return out, valid
 
-    def _load_sample(self, idx: int, jq_value: Optional[int]) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
-        """``jq_value``: pre-drawn JPEG re-encode quality (drawn in the
-        producer thread — np.random.RandomState is not thread-safe)."""
+    def _load_sample(
+        self, idx: int, jq_value: Optional[int], aa_seed: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+        """``jq_value``: pre-drawn JPEG re-encode quality; ``aa_seed``:
+        pre-drawn AutoAugment seed (both drawn in the producer thread —
+        np.random.RandomState is not thread-safe)."""
         if idx < len(self._parsed):
             path, boxes = self._parsed[idx]
             img, (ih, iw) = _decode_image(path, self.staging, jq_value)
@@ -201,6 +209,20 @@ class Dataset:
             ymax = np.asarray(f.get("image/object/bbox/ymax", []), np.float32)
             lbl = np.asarray(f.get("image/object/bbox/label", []), np.float32)
             b = np.stack([xmin, ymin, xmax, ymax, lbl], axis=-1) if len(xmin) else np.zeros((0, 5), np.float32)
+        if aa_seed is not None:
+            # Online AutoAugment on the staging square: boxes are
+            # normalized to the ORIGINAL image == fractional coords of
+            # the stretched staging image, so scale, distort, rescale.
+            from yoloret_tpu.tools.autoaugment import distort_image_with_autoaugment
+
+            s = float(self.staging)
+            px = np.asarray(b, np.float64).reshape(-1, 5).copy()
+            px[:, :4] *= s
+            img, px = distort_image_with_autoaugment(
+                img, px, self.aa_policy, np.random.RandomState(aa_seed)
+            )
+            b = px.astype(np.float32)
+            b[:, :4] /= s
         out, valid = self._pad_boxes(b)
         return img, out, valid, (ih, iw)
 
@@ -232,8 +254,12 @@ class Dataset:
                         qs = [int(q) for q in rng.randint(lo, hi + 1, size=len(idxs))]
                     else:
                         qs = [None] * len(idxs)
+                    if self.aa_policy and self.mode == DatasetMode.TRAIN:
+                        aas = [int(s) for s in rng.randint(0, 2**31 - 1, size=len(idxs))]
+                    else:
+                        aas = [None] * len(idxs)
                     samples = list(
-                        pool.map(lambda iq: self._load_sample(*iq), zip(idxs, qs))
+                        pool.map(lambda iq: self._load_sample(*iq), zip(idxs, qs, aas))
                     )
                     imgs = np.stack([s[0] for s in samples])
                     boxes = np.stack([s[1] for s in samples])

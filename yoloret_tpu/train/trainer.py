@@ -106,6 +106,7 @@ def train(cfg: RunConfig) -> str:
             cfg.train_dataset, global_batch, anchors, num_classes,
             input_hw=hw, num_scales=cfg.num_scales,
             max_boxes=cfg.max_boxes, seed=cfg.seed, augment_config=aug_override,
+            aa_policy=cfg.autoaugment_policy,
         )
         for hw in train_sizes
     ]
