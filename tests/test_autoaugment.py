@@ -130,10 +130,16 @@ def test_only_bbox_ops_keep_outside_pixels():
     rng = np.random.RandomState(0)
     out = _apply_only_bboxes(img, boxes, 1.0, rng, lambda r, _rng: r[:, ::-1])
     assert (out[10, 10] == 200).all()  # outside untouched
-    cut = _bbox_cutout(img, boxes, 0.5, 1.0, np.random.RandomState(0))
-    assert (cut[10, 10] == 200).all()
+    # reference semantics: ONE random box sizes the mask, the center is
+    # sampled anywhere in the IMAGE (autoaugment_v1.py _cutout_inside_bbox)
+    cut = _bbox_cutout(img, boxes, 1.0, np.random.RandomState(0))
+    changed = np.argwhere((cut != img).any(-1))
+    assert changed.size  # a cut landed somewhere
+    assert (cut[tuple(changed[0])] == 128).all()  # filled with gray
+    # mask extent bounded by the chosen box's dims (half-size = frac*dim/2)
     x1, y1, x2, y2 = (int(v) for v in boxes[0, :4])
-    assert (cut[y1:y2, x1:x2] == 128).any()  # content cut inside the box
+    ys, xs = changed[:, 0], changed[:, 1]
+    assert ys.max() - ys.min() <= (y2 - y1) and xs.max() - xs.min() <= (x2 - x1)
 
 
 def test_policy_deterministic_with_seed():
@@ -164,3 +170,60 @@ def test_offline_augment_autoaugment_integration(tmp_path):
     lines = open(out_list).read().strip().splitlines()
     assert len(lines) == n and n >= 2  # original + emitted aa samples
     assert any("aug_aa_" in l for l in lines[1:])
+
+
+def test_level_mappings_match_reference_conventions():
+    """Pin the reference's level_to_arg wiring (autoaugment_v1.py:1464-1545,
+    1678-1682): Solarize threshold = lvl/10*256 (NOT inverted), Cutout and
+    Cutout_Only_BBoxes share cutout_const=100, Posterize allows bits=0,
+    all Translate ops use translate_bbox_const=120."""
+    from yoloret_tpu.tools.autoaugment import _lvl_to_translate, _make_ops, _posterize
+
+    ops = _make_ops()
+    img, boxes = _scene()
+
+    # Solarize level 8 -> threshold 204: only pixels >= 204 invert, so the
+    # dark-red (255,0,0) rect inverts in R only and the 200-gray stays put
+    out, _ = ops["Solarize"](img, boxes, 8.0, np.random.RandomState(0))
+    assert (out[10, 10] == 200).all()  # 200 < 204: untouched
+    assert out[45, 50, 0] == 0  # 255 >= 204: inverted
+
+    # Posterize bits=0 blacks out (v3's ('Posterize', 0.8, 2) -> bits 0)
+    assert (_posterize(img, 0) == 0).all()
+    # bit-shift posterize, not PIL: 2 bits keeps top-2 bits exactly
+    assert set(np.unique(_posterize(img, 2))) <= {0, 64, 128, 192}
+
+    # translate magnitude: level 10 -> +/-120 px
+    vals = {abs(_lvl_to_translate(10.0, np.random.RandomState(i))) for i in range(4)}
+    assert vals == {120.0}
+
+
+def test_only_bbox_prob_scaled_by_third():
+    """The runner must scale *_Only_BBoxes probs by 1/3
+    (_scale_bbox_only_op_probability, autoaugment_v1.py:486-493)."""
+    from yoloret_tpu.tools import autoaugment as aa
+
+    seen = {}
+    orig = aa._make_ops
+
+    def spy():
+        ops = orig()
+        real = ops["TranslateY_Only_BBoxes"]
+
+        def wrapper(im, bx, lvl, rng, prob=1.0):
+            seen["prob"] = prob
+            return real(im, bx, lvl, rng, prob=prob)
+
+        ops["TranslateY_Only_BBoxes"] = wrapper
+        return ops
+
+    img, boxes = _scene()
+    policy = [[("TranslateY_Only_BBoxes", 0.6, 2)]]
+    aa.POLICIES["_probe"] = policy
+    aa._make_ops, _saved = spy, orig
+    try:
+        distort_image_with_autoaugment(img, boxes, "_probe", np.random.RandomState(0))
+    finally:
+        aa._make_ops = _saved
+        del aa.POLICIES["_probe"]
+    assert seen["prob"] == pytest.approx(0.6 / 3.0)

@@ -14,6 +14,7 @@ seeds and enables NaN checking (code/main.py:140-144).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from yoloret_tpu.configs import MODE, RunConfig, load_config
@@ -231,7 +232,11 @@ def main(argv=None) -> int:
 
 
 def _demo_image() -> str:
-    return "/root/reference/code/data_paths/demo_images/2011_006155.jpg"
+    # vendored VOC demo frame (reference ships demo_images/ for the same
+    # purpose, code/yolo.py demo flow) — keeps the repo self-contained
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "demo.jpg")
 
 
 def run():

@@ -200,6 +200,14 @@ class Dataset:
             raw = f["image/encoded"]
             pil = Image.open(io.BytesIO(raw)).convert("RGB")
             iw, ih = pil.size
+            if jq_value is not None:
+                # same random-JPEG-quality augmentation the file-path
+                # branch gets (code/yolo3/utils.py:225-227) — TFRecord
+                # sources were skipping it before round 3
+                buf = io.BytesIO()
+                pil.save(buf, format="JPEG", quality=int(jq_value))
+                buf.seek(0)
+                pil = Image.open(buf).convert("RGB")
             img = np.asarray(
                 pil.resize((self.staging, self.staging), Image.BILINEAR), np.uint8
             )

@@ -154,9 +154,10 @@ def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
     (reference: code/yolo.py:333-394): SavedModel (``serving``), TFLite
     flatbuffer with size optimization (``tflite``,
     OPTIMIZE_FOR_SIZE parity yolo.py:391), or a SavedModel staged for
-    the tfjs converter (``tfjs``). Requires a TensorFlow runtime — not
-    present in this image; exercised path is documented in
-    docs/usage.md and gated here."""
+    the tfjs converter (``tfjs``). Requires a TensorFlow runtime (TF 2.21
+    is in this image; tests/test_export.py exercises these paths end to
+    end) — when TF is absent, export_model falls back to the StableHLO
+    bundle."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 

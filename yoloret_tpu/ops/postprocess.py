@@ -148,10 +148,19 @@ def detect_batch(
     ``use_pallas=True`` routes the per-class structure through the
     fused VMEM-resident suppression kernel (ops/nms_pallas.py).
     """
-    if pool is None:
-        pool = "shared" if (use_pallas is None and zoom_outputs is None) else "per_class"
     if use_pallas is None:
         use_pallas = False
+    if pool is None:
+        # pool choice is independent of HOW use_pallas was spelled:
+        # "shared" is the measured-fastest default whenever it applies;
+        # the Pallas kernel and the zoom ensemble require the per-class
+        # candidate structure.
+        pool = "per_class" if (use_pallas or zoom_outputs is not None) else "shared"
+    elif pool == "shared" and (use_pallas or zoom_outputs is not None):
+        raise ValueError(
+            "pool='shared' is incompatible with use_pallas=True / "
+            "zoom_outputs: both consume the per-class candidate structure "
+            "(pass pool='per_class' or drop them)")
     if pool == "shared" and zoom_outputs is None and not use_pallas:
         return _detect_batch_shared_pool(
             outputs, anchors, num_classes, image_hw,

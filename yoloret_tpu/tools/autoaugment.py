@@ -168,19 +168,26 @@ def _shear_region(region, s, axis):
     return np.asarray(out)
 
 
-def _bbox_cutout(image, boxes, pad_fraction, prob, rng):
-    """Cut a gray region INSIDE each box, sized by a fraction of the box
-    (reference _bbox_cutout semantics)."""
-
-    def fn(region, rng):
-        rh, rw = region.shape[:2]
-        ph = max(1, int(rh * pad_fraction))
-        pw = max(1, int(rw * pad_fraction))
-        cy, cx = rng.randint(0, rh), rng.randint(0, rw)
-        region[max(0, cy - ph):cy + ph, max(0, cx - pw):cx + pw] = GRAY
-        return region
-
-    return _apply_only_bboxes(image, boxes, prob, rng, fn)
+def _bbox_cutout(image, boxes, pad_fraction, rng):
+    """Cut a gray region sized by ONE randomly-chosen box, centered at a
+    random location anywhere in the IMAGE (reference ``bbox_cutout`` +
+    ``_cutout_inside_bbox``, autoaugment_v1.py:1293-1358: mask half-size is
+    ``pad_fraction * box_dim/2`` and the center is sampled over the full
+    image, so the mask may land partly or wholly outside the box)."""
+    if boxes.shape[0] == 0:
+        return image
+    h, w = image.shape[:2]
+    b = boxes[rng.randint(boxes.shape[0])]
+    bh = max(1.0, b[3] - b[1])
+    bw = max(1.0, b[2] - b[0])
+    ph = int(pad_fraction * (bh / 2.0))
+    pw = int(pad_fraction * (bw / 2.0))
+    if ph <= 0 or pw <= 0:
+        return image
+    cy, cx = rng.randint(0, h), rng.randint(0, w)
+    out = image.copy()
+    out[max(0, cy - ph):cy + ph, max(0, cx - pw):cx + pw] = GRAY
+    return out
 
 
 def _autocontrast(image):
@@ -190,11 +197,14 @@ def _autocontrast(image):
 
 
 def _posterize(image, bits):
-    from PIL import Image, ImageOps
-
-    return np.asarray(
-        ImageOps.posterize(Image.fromarray(image), int(np.clip(bits, 1, 8)))
-    )
+    # keep bits=0 (full blackout) legal, as the reference's bit-shift
+    # posterize does (autoaugment_v1.py:289-292) — v3's ('Posterize', 0.8, 2)
+    # maps to bits=0
+    bits = int(np.clip(bits, 0, 8))
+    if bits == 0:
+        return np.zeros_like(image)
+    shift = 8 - bits
+    return ((image >> shift) << shift).astype(np.uint8)
 
 
 def _solarize_add(image, addition, threshold=128):
@@ -205,7 +215,10 @@ def _solarize_add(image, addition, threshold=128):
 
 # ---- level -> argument conversions (TF autoaugment conventions) ---------
 
-def _lvl_to_translate(level, rng, max_px=250.0):
+def _lvl_to_translate(level, rng, max_px=120.0):
+    # the reference wires translate_bbox_const=120 to ALL Translate ops —
+    # whole-image *_BBox AND *_Only_BBoxes (autoaugment_v1.py:1467-1468,
+    # 1681-1682; translate_const=250 is defined but never used there)
     v = level / _MAX_LEVEL * max_px
     return -v if rng.rand() < 0.5 else v
 
@@ -240,7 +253,9 @@ def _make_ops() -> Dict[str, Callable]:
             im, bx, _lvl_to_rotate(lvl, rng)),
         "Equalize": lambda im, bx, lvl, rng: (_equalize(im), bx),
         "Solarize": lambda im, bx, lvl, rng: (
-            _solarize(im, int(256 - lvl / _MAX_LEVEL * 256)), bx),
+            # threshold = int(lvl/10 * 256): level 8 -> 204 (mild), matching
+            # the reference's _level_wrapper(256) (autoaugment_v1.py:1483-1484)
+            _solarize(im, int(lvl / _MAX_LEVEL * 256)), bx),
         "Color": lambda im, bx, lvl, rng: (
             _enhance(im, "Color", _lvl_to_enhance(lvl)), bx),
         "Sharpness": lambda im, bx, lvl, rng: (
@@ -257,12 +272,13 @@ def _make_ops() -> Dict[str, Callable]:
         "SolarizeAdd": lambda im, bx, lvl, rng: (
             _solarize_add(im, lvl / _MAX_LEVEL * 110), bx),
         "BBox_Cutout": lambda im, bx, lvl, rng: (
-            _bbox_cutout(im, bx, lvl / _MAX_LEVEL * 0.75, 1.0, rng), bx),
+            _bbox_cutout(im, bx, lvl / _MAX_LEVEL * 0.75, rng), bx),
         # *_Only_BBoxes ops transform the CONTENT of each gt box (boxes
         # stay put); the sub-policy probability is applied PER BOX, as
         # the reference's _apply_multi_bbox_augmentation does — the
-        # policy runner passes it through instead of coin-flipping the
-        # whole op (see distort_image_with_autoaugment).
+        # policy runner scales it by 1/3 (_scale_bbox_only_op_probability)
+        # and passes it through instead of coin-flipping the whole op
+        # (see distort_image_with_autoaugment).
         "TranslateY_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
             _translate_only_bboxes(
                 im, bx, _lvl_to_translate(lvl, rng, max_px=120.0), prob, rng),
@@ -286,7 +302,9 @@ def _make_ops() -> Dict[str, Callable]:
         "Cutout_Only_BBoxes": lambda im, bx, lvl, rng, prob=1.0: (
             _apply_only_bboxes(
                 im, bx, prob, rng,
-                lambda r, _rng: _region_cutout(r, int(lvl / _MAX_LEVEL * 50), _rng)),
+                # reference wires Cutout_Only_BBoxes to cutout_const=100, same
+                # as whole-image Cutout (autoaugment_v1.py:1530-1531, 1681)
+                lambda r, _rng: _region_cutout(r, int(lvl / _MAX_LEVEL * 100), _rng)),
             bx),
     }
 
@@ -406,9 +424,12 @@ def distort_image_with_autoaugment(
     boxes = np.asarray(boxes, np.float64).reshape(-1, 5)
     for name, prob, level in sub:
         if name in ONLY_BBOX_OPS:
-            # probability applies PER BOX inside the op (reference
-            # _apply_multi_bbox_augmentation semantics)
-            image, boxes = ops[name](image, boxes, float(level), rng, prob=prob)
+            # probability applies PER BOX inside the op, scaled by 1/3 first
+            # so crowded scenes aren't over-distorted (reference
+            # _scale_bbox_only_op_probability at autoaugment_v1.py:486-493,
+            # applied by every *_only_bboxes fn at :716-780)
+            image, boxes = ops[name](
+                image, boxes, float(level), rng, prob=prob / 3.0)
             continue
         if rng.rand() >= prob:
             continue

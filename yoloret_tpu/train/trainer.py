@@ -56,7 +56,10 @@ class EarlyStopper:
 
     def update(self, val_loss: float) -> bool:
         if not np.isfinite(val_loss):
-            return False
+            # NaN/inf params never recover — stop the stage now rather
+            # than burn the remaining epochs (deviation from Keras, which
+            # would wait out `patience`; documented in docs/parity.md)
+            return True
         if val_loss < self.best:
             self.best, self.stale = val_loss, 0
             return False
