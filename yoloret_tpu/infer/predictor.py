@@ -4,8 +4,11 @@
 The reference wraps a batch-1 Keras model that takes raw encoded bytes
 and letterboxes in-graph (yolo.py:105-112). Here the host letterboxes
 (cheap, PIL/numpy) and ONE jitted XLA program runs backbone -> RFCR ->
-heads -> decode -> class-aware NMS for a whole batch; the predictor
-keeps a compile cache per batch shape and pads partial batches.
+heads -> decode -> class-aware NMS for a whole batch. Requests are
+padded up to a small ladder of batch buckets (default 1/8/32/256) so
+arbitrary request sizes reuse at most ``len(batch_buckets)`` compiled
+programs — on this backend a fresh XLA compile costs minutes, so an
+unpadded batch dim would be a serving hazard.
 """
 
 from __future__ import annotations
@@ -54,6 +57,7 @@ class Predictor:
         num_candidates: int = 256,  # shared-pool depth; 64 is ~16% faster
         # at serving thresholds with a measured -0.013 worst-case mAP
         # cost at threshold 0 (tools/topk_study.py)
+        batch_buckets: Sequence[int] = (1, 8, 32, 256),
     ):
         if class_names is None:
             assert classes_path, "need class_names or classes_path"
@@ -66,6 +70,9 @@ class Predictor:
         self.input_hw = tuple(input_hw)
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
+        assert batch_buckets, "batch_buckets must be non-empty"
+        self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
+        self.dispatched_batch_sizes: set = set()  # compiled-shape telemetry
 
         self.model = build_detector(
             backbone,
@@ -120,13 +127,41 @@ class Predictor:
 
     # -- array API ----------------------------------------------------------
 
+    def _bucket_for(self, n: int) -> int:
+        """Smallest configured bucket >= n (largest bucket chunks bigger
+        requests)."""
+        for b in self.batch_buckets:
+            if n <= b:
+                return b
+        return self.batch_buckets[-1]
+
     def detect_arrays(self, images: Sequence[np.ndarray]) -> List[List[Detection]]:
-        """images: list of HWC uint8/float RGB arrays (any sizes)."""
+        """images: list of HWC uint8/float RGB arrays (any sizes).
+
+        Requests larger than the top bucket are processed in top-bucket
+        chunks; smaller ones are padded up to the nearest bucket (padding
+        rows replicate row 0 and are dropped from the results), so every
+        request size maps onto one of ``batch_buckets``' compiled shapes.
+        """
+        out: List[List[Detection]] = []
+        top = self.batch_buckets[-1]
+        for start in range(0, len(images), top):
+            out.extend(self._detect_chunk(images[start:start + top]))
+        return out
+
+    def _detect_chunk(self, images: Sequence[np.ndarray]) -> List[List[Detection]]:
         batch = len(images)
+        bucket = self._bucket_for(batch)
         lb = np.stack(
             [letterbox_numpy_u8(np.asarray(im), self.input_hw) for im in images]
         )
         hw = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.float32)
+        if bucket > batch:
+            lb = np.concatenate(
+                [lb, np.broadcast_to(lb[:1], (bucket - batch, *lb.shape[1:]))])
+            hw = np.concatenate(
+                [hw, np.broadcast_to(hw[:1], (bucket - batch, 2))])
+        self.dispatched_batch_sizes.add(bucket)
         res = self._infer(self.variables, jnp.asarray(lb), jnp.asarray(hw))
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
