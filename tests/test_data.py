@@ -261,3 +261,26 @@ def test_brightness_augment_applies(rng):
         if abs(float(out.mean()) - 0.5) > 0.02:
             shifted = True
     assert shifted, "val (brightness) augmentation had no effect"
+
+
+def test_build_skip_batches_resumes_stream_bitwise(tiny_dataset):
+    """build(skip_batches=k) must yield bitwise the batches a fresh
+    stream produces at positions k, k+1, ... — host shuffles/quality/AA
+    draws are replayed and the device augment key is split forward, so a
+    resumed run continues the data order instead of replaying epoch 0."""
+    def make():
+        return Dataset(
+            tiny_dataset, batch_size=2, anchors=ANCHORS, num_classes=3,
+            input_hw=(64, 64), num_workers=2, seed=3,
+        )
+
+    full = list(make().build(epochs=3))  # 6 batches over 3 shuffled epochs
+    skipped = list(make().build(epochs=3, skip_batches=3))
+    assert len(full) == 6 and len(skipped) == 3
+    for a, b in zip(full[3:], skipped):
+        for k in ("images", "gt_boxes", "gt_valid", "y_true_0", "y_true_2"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # and the skipped stream actually differs from an epoch-0 replay
+    assert not np.array_equal(
+        np.asarray(full[0]["images"]), np.asarray(skipped[0]["images"])
+    )

@@ -206,3 +206,62 @@ def test_trainer_8way_dp(tiny_voc, tmp_path):
     ]
     assert len(metrics) == 2
     assert all(np.isfinite(m["loss"]) and np.isfinite(m["val_loss"]) for m in metrics)
+
+
+def test_resume_matches_uninterrupted_loss_trace(tiny_voc, tmp_path, monkeypatch):
+    """Kill/resume == uninterrupted: a run preempted right after the
+    epoch-1 checkpoint and resumed must produce the SAME loss trace for
+    epochs 2-3 as a run that never stopped (step-accurate resume: data
+    stream fast-forward + restored opt/EMA/step state)."""
+    from yoloret_tpu.train.trainer import train
+    from yoloret_tpu.utils.checkpoint import CheckpointManager
+
+    def mkcfg(sub):
+        return RunConfig(
+            backbone="yolo_fastest",
+            input_size=(64, 64),
+            train_dataset=tiny_voc["ann"],
+            val_dataset=tiny_voc["ann"],
+            classes_path=tiny_voc["classes"],
+            anchors_path=tiny_voc["anchors"],
+            batch_size=4,
+            epochs=(4, 4),
+            learning_rate=(1e-3, 1e-4),
+            freeze=True,
+            bf16=False,
+            mesh_data=1,
+            checkpoint_every=2,
+            log_dir=os.path.join(str(tmp_path), sub),
+            seed=0,
+        )
+
+    def trace(cfg):
+        path = os.path.join(cfg.log_dir, "yolo_fastest_stage1", "metrics.jsonl")
+        return {
+            m["epoch"]: m for m in map(json.loads, open(path)) if "loss" in m
+        }
+
+    cfg_a = mkcfg("straight")
+    train(cfg_a)
+
+    cfg_b = mkcfg("preempted")
+    orig = CheckpointManager.maybe_save
+
+    def preempt(self, epoch, tree, val_loss):
+        saved = orig(self, epoch, tree, val_loss)
+        if saved and epoch == 1:
+            self._mngr.wait_until_finished()
+            raise KeyboardInterrupt("simulated preemption")
+        return saved
+
+    monkeypatch.setattr(CheckpointManager, "maybe_save", preempt)
+    with pytest.raises(KeyboardInterrupt):
+        train(cfg_b)
+    monkeypatch.undo()
+    train(cfg_b.replace(resume=True))
+
+    a, b = trace(cfg_a), trace(cfg_b)
+    assert sorted(b) == [0, 1, 2, 3]
+    for e in (2, 3):  # post-resume epochs must match the straight run
+        np.testing.assert_allclose(b[e]["loss"], a[e]["loss"], rtol=1e-6)
+        np.testing.assert_allclose(b[e]["val_loss"], a[e]["val_loss"], rtol=1e-6)

@@ -192,6 +192,10 @@ def train(cfg: RunConfig) -> str:
 
     ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"), every=cfg.checkpoint_every)
     start_epoch = 0
+    stopper = None
+    if cfg.early_stopping:
+        stopper = EarlyStopper(cfg.early_stopping_patience or epochs // 2)
+
     def _ckpt_tree():
         tree = {
             "params": state.params,
@@ -201,6 +205,11 @@ def train(cfg: RunConfig) -> str:
         }
         if state.ema_params is not None:
             tree["ema_params"] = state.ema_params
+        if stopper is not None:
+            tree["stopper"] = {
+                "best": np.float64(stopper.best),
+                "stale": np.int64(stopper.stale),
+            }
         return tree
 
     if cfg.resume:
@@ -214,6 +223,9 @@ def train(cfg: RunConfig) -> str:
                 step=restored["step"],
                 ema_params=restored.get("ema_params", state.ema_params),
             )
+            if stopper is not None and "stopper" in restored:
+                stopper.best = float(restored["stopper"]["best"])
+                stopper.stale = int(restored["stopper"]["stale"])
             start_epoch = latest + 1
             print(f"resumed from epoch {latest} checkpoint")
     step_rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -229,9 +241,20 @@ def train(cfg: RunConfig) -> str:
     )
     from yoloret_tpu.parallel import device_prefetch
 
+    # Step-accurate resume: each dataset's stream fast-forwards past the
+    # batches its completed epochs consumed (epoch e draws from iterator
+    # e % len(train_dss)), so a resumed run sees exactly the batches the
+    # uninterrupted run would have — not an epoch-0 replay.
     train_iters = [
-        device_prefetch(ds.build(epochs=None), data_shard, size=2)
-        for ds in train_dss
+        device_prefetch(
+            ds.build(
+                epochs=None,
+                skip_batches=steps_per_epoch
+                * sum(1 for e in range(start_epoch) if e % len(train_dss) == i),
+            ),
+            data_shard, size=2,
+        )
+        for i, ds in enumerate(train_dss)
     ]
 
     def _eval_map(epoch: int) -> float:
@@ -299,10 +322,6 @@ def train(cfg: RunConfig) -> str:
             pil = draw_detections(Image.fromarray(u8), dets, class_names)
             tb.add_image(f"train_input/{i}", np.asarray(pil), epoch)
         tb.flush()
-
-    stopper = None
-    if cfg.early_stopping:
-        stopper = EarlyStopper(cfg.early_stopping_patience or epochs // 2)
 
     epoch = max(start_epoch, epochs) - 1  # stage-end epoch if loop is empty
     for epoch in range(start_epoch, epochs):
