@@ -78,7 +78,11 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
         for _ in range(warmup):
             images, res = infer(variables, images)
         jax.block_until_ready((images, res))
-        print(f"{name}: compile+warmup {time.perf_counter() - t_c:.1f}s",
+        compile_s = time.perf_counter() - t_c
+        # compile-time creep watch (VERDICT r2 weak #6): machine-readable
+        # per-config compile+warmup seconds on stderr
+        print(json.dumps({"compile_config": name,
+                          "compile_warmup_s": round(compile_s, 1)}),
               file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(iters):

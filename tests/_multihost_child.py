@@ -97,6 +97,75 @@ def main():
     assert int(new_state.step.addressable_data(0)) == 1
     print(f"MULTIHOST_OK pid={pid} loss={loss:.4f}", flush=True)
 
+    if len(sys.argv) > 4:
+        _data_phase(pid, nproc, mesh, data_shard, repl, anchors, sys.argv[4])
+
+
+def _data_phase(pid, nproc, mesh, data_shard, repl, anchors, ann):
+    """Per-host input sharding: a REAL Dataset stream where this process
+    decodes only its row slice, assembled into one global sharded batch
+    (data/pipeline.py process_index/process_count +
+    parallel/prefetch.py local_data)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from functools import partial
+
+    from yoloret_tpu.data import Dataset
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.parallel import device_prefetch
+    from yoloret_tpu.train import StepConfig, TrainState, train_step
+
+    n_global = len(jax.devices())
+    size, nc = 64, 3
+    ds = Dataset(
+        ann, batch_size=n_global, anchors=anchors, num_classes=nc,
+        input_hw=(size, size), seed=11, num_workers=1,
+        process_index=pid, process_count=nproc,
+    )
+    loaded = []
+    orig_load = ds._load_sample
+
+    def spy(idx, jq, aa=None):
+        loaded.append(int(idx))
+        return orig_load(idx, jq, aa)
+
+    ds._load_sample = spy
+    batch = next(device_prefetch(
+        ds.build(epochs=1), data_shard, size=1, local_data=True))
+    assert batch["images"].shape[0] == n_global  # global batch assembled
+    n_local_rows = n_global // nproc
+    assert len(loaded) == n_local_rows, loaded  # decoded only our slice
+
+    model = build_detector("yolo_fastest", num_classes=nc)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
+    )
+    state = TrainState.create(
+        model.apply, variables["params"], variables["batch_stats"],
+        optax.adam(1e-3, eps=1e-8),
+    )
+    state = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x))
+        if hasattr(x, "shape") else x,
+        state,
+    )
+    cfg = StepConfig(anchors=tuple(map(tuple, anchors.tolist())))
+    step = jax.jit(
+        partial(train_step, cfg=cfg),
+        in_shardings=(repl, data_shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(jax.device_get(metrics["loss"].addressable_data(0)))
+    assert np.isfinite(loss), loss
+    print(
+        f"MULTIHOST_DATA_OK pid={pid} loss={loss:.6f} "
+        f"loaded={sorted(loaded)}", flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

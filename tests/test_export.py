@@ -198,3 +198,97 @@ def test_export_quantized_round_trip(tmp_path):
     assert meta["quantized"] is True
     assert meta["calling_convention_version"] >= 1
     assert meta["jax_version"]
+
+
+def test_tflite_full_int8_with_calibration(tmp_path):
+    """--quantize + TFLITE: calibrated full-int8 flatbuffer of the conv
+    stack (the graph the reference's TFLite export covers, yolo.py:
+    386-394) alongside the f32 pipeline artifact. int8 tensors inside,
+    float IO; raw head outputs feed the f32 postprocess and reproduce
+    the f32 pipeline's detections."""
+    tf = pytest.importorskip("tensorflow")
+
+    from PIL import Image
+
+    from yoloret_tpu.export.export import _build_infer, export_tf_flavor
+
+    size = 96
+    rng = np.random.RandomState(1)
+    lines = []
+    for i in range(3):
+        arr = (rng.rand(80, 100, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"cal{i}.jpg"
+        Image.fromarray(arr).save(p)
+        lines.append(f"{p} 10,10,60,50,0")
+    ann = tmp_path / "cal.txt"
+    ann.write_text("\n".join(lines) + "\n")
+
+    cfg = _cfg(tmp_path).replace(
+        input_size=(size, size),
+        model=_peaked_checkpoint(tmp_path, size),
+        score_threshold=0.3,
+        quantize=True,
+        quantize_samples=3,
+        train_dataset=str(ann),
+    )
+    out = export_tf_flavor(cfg, str(tmp_path / "int8"), "tflite")
+    path = os.path.join(out, "model_int8.tflite")
+    assert os.path.exists(path)
+    assert os.path.exists(os.path.join(out, "model.tflite"))  # f32 pipeline
+
+    interp = tf.lite.Interpreter(model_path=path)
+    dtypes = {d["dtype"].__name__ for d in interp.get_tensor_details()}
+    assert "int8" in dtypes, dtypes  # actually integer-quantized inside
+    assert all(d["dtype"].__name__ == "float32"
+               for d in interp.get_input_details())  # float IO
+
+    interp.allocate_tensors()
+    rng = np.random.RandomState(0)
+    images = (rng.rand(1, size, size, 3) ** 2).astype(np.float32)
+    d_in = interp.get_input_details()[0]
+    interp.set_tensor(d_in["index"], images)
+    interp.invoke()
+    outs = {
+        tuple(o["shape"][1:]): interp.get_tensor(o["index"])
+        for o in interp.get_output_details()
+    }
+
+    # raw int8 head outputs feed the f32 postprocess: detections match
+    # the f32 pipeline
+    import jax.numpy as _jnp
+
+    from yoloret_tpu.data.annotations import load_anchors
+    from yoloret_tpu.ops import detect_batch
+
+    anchors = load_anchors(cfg.anchors_path)
+    grids = [(size // s, size // s) for s in (32, 16, 8)]
+    t_outs = [
+        _jnp.asarray(outs[(gh, gw, 3, 7)]).reshape(1, gh, gw, 3, 7)
+        for gh, gw in grids
+    ]
+    hw = np.full((1, 2), float(size), np.float32)
+    r = detect_batch(
+        t_outs, _jnp.asarray(anchors, _jnp.float32), num_classes=2,
+        image_hw=_jnp.asarray(hw), score_threshold=0.3, iou_threshold=0.5,
+        approx_topk=False,
+    )
+    infer, _ = _build_infer(cfg)
+    jb, js, jc, jv = [np.asarray(x) for x in infer(images, hw)]
+    assert jv.sum() > 0
+    tv, ts, tb = np.asarray(r.valid), np.asarray(r.scores), np.asarray(r.boxes)
+    m = jv[0] & tv[0]
+    assert m.sum() >= max(1, int(jv.sum()) - 1)  # int8 keeps detections
+    np.testing.assert_allclose(ts[0][m], js[0][m], atol=0.1)
+    # box regression decodes through exp(): int8 noise on these
+    # UNTRAINED weights shifts coordinates, so assert overlap (the
+    # mAP-matching criterion) instead of pixel equality; the accuracy
+    # cost on trained weights is measured by tools/int8_study.py
+    def iou(a, b):
+        yx1 = np.maximum(a[:2], b[:2])
+        yx2 = np.minimum(a[2:], b[2:])
+        inter = np.prod(np.maximum(yx2 - yx1, 0.0))
+        ua = np.prod(a[2:] - a[:2]) + np.prod(b[2:] - b[:2]) - inter
+        return inter / max(ua, 1e-9)
+
+    ious = [iou(tb[0][i], jb[0][i]) for i in np.where(m)[0]]
+    assert np.mean(ious) >= 0.5, ious

@@ -130,6 +130,9 @@ class RunConfig:
     multihost: bool = False  # call jax.distributed.initialize() (DCN multi-
     # host; coordinator from env: JAX_COORDINATOR_ADDRESS etc.)
     quantize: bool = False
+    quantize_samples: int = 32  # calibration images for full-int8 TFLite
+    # (drawn from test/train annotation lists when set, synthetic noise
+    # otherwise)
     prune: bool = False
     export: Optional[str] = None
     image: Optional[str] = None  # input for IMAGE mode

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,11 +201,15 @@ def augment_batch(
     valid: jnp.ndarray,  # [B, T] bool
     rng: jax.Array,
     cfg: AugmentConfig,
+    rngs: Optional[jax.Array] = None,  # [B, 2] pre-split per-sample keys
+    # (per-host input sharding passes the host's slice of the GLOBAL
+    # batch split so sharded == unsharded bitwise)
 ):
     """Returns (images [B, H, W, 3] f32, boxes [B, T, 5] in output pixels,
     valid [B, T])."""
     images = _to_unit_float(images)
-    rngs = jax.random.split(rng, images.shape[0])
+    if rngs is None:
+        rngs = jax.random.split(rng, images.shape[0])
     return jax.vmap(lambda i, b, v, r: _augment_one(i, b, v, r, cfg))(
         images, boxes, valid, rngs
     )

@@ -116,14 +116,19 @@ def export_stablehlo(cfg: RunConfig, out_dir: str, batch: int = 1) -> str:
 
 def _build_infer(cfg: RunConfig):
     """(infer(images, image_hw), class_names) with weights closed over —
-    the conversion source for every TF-side flavor."""
+    the conversion source for every TF-side flavor.
+
+    Always the f32 graph regardless of ``cfg.bf16``: a bf16 graph makes
+    the TFLite converter fail outright ("failed to legalize tfl.pad"),
+    bf16 is a TPU compute choice with no meaning for edge artifacts, and
+    params are stored f32 anyway (found by driving --mode=TFLITE with
+    default flags in round 3 — round-2 tests always passed bf16=False).
+    """
     class_names = load_classes(cfg.classes_path)
     anchors = load_anchors(cfg.anchors_path)
     num_classes = len(class_names)
-    model = build_detector(
-        cfg.backbone, num_classes=num_classes,
-        dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-    )
+    model = build_detector(cfg.backbone, num_classes=num_classes,
+                           dtype=jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_size, 3)), False
     )
@@ -146,6 +151,120 @@ def _build_infer(cfg: RunConfig):
         return r.boxes, r.scores, r.classes, r.valid
 
     return infer, class_names
+
+
+def _representative_dataset(cfg: RunConfig, batch: int, n_samples: int = 32):
+    """Calibration feed for full-int8 conversion: letterboxed images from
+    ``cfg.test_dataset`` / ``cfg.train_dataset`` annotation lists when
+    available (the representative distribution the quantizer needs),
+    uniform noise otherwise. Yields [images, image_hw] matching the
+    serving signature."""
+    h, w = cfg.input_size
+
+    def gen():
+        import numpy as _np
+
+        from yoloret_tpu.data.annotations import parse_annotation_line
+        from yoloret_tpu.ops.letterbox import letterbox_numpy_u8
+
+        paths = []
+        for src in (cfg.test_dataset, cfg.train_dataset):
+            if src and os.path.exists(src) and not any(c in src for c in "*?["):
+                with open(src) as fh:
+                    paths = [parse_annotation_line(l)[0]
+                             for l in fh if l.strip()]
+                break
+        rng = _np.random.RandomState(0)
+        for i in range(n_samples):
+            if paths:
+                from PIL import Image
+
+                arr = _np.asarray(
+                    Image.open(paths[i % len(paths)]).convert("RGB"), _np.uint8
+                )
+                ih, iw = arr.shape[:2]
+                img = letterbox_numpy_u8(arr, (h, w)).astype(_np.float32) / 255.0
+            else:
+                ih, iw = h, w
+                img = rng.rand(h, w, 3).astype(_np.float32)
+            images = _np.broadcast_to(img, (batch, h, w, 3)).copy()
+            hw = _np.full((batch, 2), 0.0, _np.float32)
+            hw[:, 0], hw[:, 1] = float(ih), float(iw)
+            # dict keyed by signature input names: the calibrator's
+            # positional order need not match the signature order
+            yield {"images": images, "image_hw": hw}
+
+    return gen
+
+
+def _export_tflite_int8(cfg: RunConfig, out_dir: str, batch: int) -> str:
+    """Full-int8 (calibrated) TFLite of the CONV STACK — the graph the
+    reference's own TFLite export covers (it converts ``yolo_model``
+    without the NMS tail, code/yolo.py:386-394). Decode/NMS stay f32 by
+    design (this repo's convention: f32 for decode/NMS math; TFLite's
+    calibrator also cannot walk the sort/while NMS tail — it segfaults).
+    Edge runtime: invoke ``model_int8.tflite`` for the three raw head
+    tensors, then run the tiny float postprocess (or the f32
+    ``model.tflite`` pipeline artifact)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    class_names = load_classes(cfg.classes_path)
+    num_classes = len(class_names)
+    # f32 reference graph regardless of cfg.bf16: the int8 quantizer
+    # cannot legalize bf16 ops (tfl.pad etc.), and bf16 is a TPU compute
+    # choice with no meaning for an edge-CPU artifact
+    model = build_detector(cfg.backbone, num_classes=num_classes,
+                           dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.input_size, 3)), False
+    )
+    if cfg.model:
+        variables = load_params(cfg.model, like=variables)
+
+    def raw(images):
+        return model.apply(variables, images, False)
+
+    h, w = cfg.input_size
+    tf_fn = tf.function(
+        jax2tf.convert(raw, with_gradient=False),
+        input_signature=[
+            tf.TensorSpec([batch, h, w, 3], tf.float32, name="images"),
+        ],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.raw = tf_fn
+    raw_dir = os.path.join(out_dir, "saved_model_raw")
+    tf.saved_model.save(module, raw_dir, signatures={"serving_default": tf_fn})
+    conv = tf.lite.TFLiteConverter.from_saved_model(raw_dir)
+    conv.optimizations = [tf.lite.Optimize.DEFAULT]
+    rep = _representative_dataset(cfg, batch, n_samples=cfg.quantize_samples)
+
+    def images_only():
+        for d in rep():
+            yield {"images": d["images"]}
+
+    conv.representative_dataset = images_only
+    conv.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+        tf.lite.OpsSet.TFLITE_BUILTINS,  # fallback for non-quantizable ops
+    ]
+    path = os.path.join(out_dir, "model_int8.tflite")
+    try:
+        blob = conv.convert()
+    except Exception as e:  # e.g. tfl.pad legalization on some backbones
+        print(
+            f"full-int8 conversion failed for backbone {cfg.backbone!r} "
+            f"({type(e).__name__}: {str(e)[:200]}...); the dynamic-range "
+            f"f32 pipeline artifact model.tflite is still valid"
+        )
+        return ""
+    with open(path, "wb") as f:
+        f.write(blob)
+    print(f"TFLite flatbuffer (full-int8 conv stack, calibrated on "
+          f"{cfg.quantize_samples} samples) -> {path}")
+    return path
 
 
 def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
@@ -181,9 +300,13 @@ def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
     if flavor == "tflite":
         conv = tf.lite.TFLiteConverter.from_saved_model(saved_dir)
         conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        blob = conv.convert()  # convert BEFORE open: an open-then-fail
+        # would leave a truncated model.tflite behind
         with open(os.path.join(out_dir, "model.tflite"), "wb") as f:
-            f.write(conv.convert())
-        print(f"TFLite flatbuffer -> {out_dir}/model.tflite")
+            f.write(blob)
+        print(f"TFLite flatbuffer (dynamic-range) -> {out_dir}/model.tflite")
+        if cfg.quantize:
+            _export_tflite_int8(cfg, out_dir, batch)
     elif flavor == "tfjs":
         print(
             f"SavedModel -> {saved_dir}; finish with: tensorflowjs_converter "

@@ -20,8 +20,16 @@ def device_prefetch(
     it: Iterator[Any],
     sharding: Optional[Any] = None,
     size: int = 2,
+    local_data: bool = False,
 ) -> Iterator[Any]:
-    """Yield batches from ``it`` with up to ``size`` already on device."""
+    """Yield batches from ``it`` with up to ``size`` already on device.
+
+    ``local_data=True``: each leaf holds only THIS process's batch-axis
+    slice (a process-sharded Dataset stream); the global array is
+    assembled with ``jax.make_array_from_process_local_data`` so the
+    multihost train step sees one sharded global batch while every host
+    transferred only its own rows.
+    """
     buf = collections.deque()
 
     def put(batch):
@@ -30,6 +38,12 @@ def device_prefetch(
                 return x  # host scalars (e.g. n_valid) stay host-side
             if sharding is None:
                 return jax.device_put(x)
+            if local_data:
+                import numpy as np
+
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                )
             return jax.device_put(x, sharding)
 
         return jax.tree.map(one, batch)

@@ -85,6 +85,54 @@ def bench_config(model, variables, name, pool, use_pallas, k, thresh,
     return ips
 
 
+def latency_sweep(model, variables, batches=(1, 8, 32, 256), size=320,
+                  num_classes=20, iters=50, warmup=5, k=64, thresh=0.3):
+    """Per-request latency at small batches — the paper's actual headline
+    metric is per-image FPS on-device (reference README.md:19-20,
+    yolo.py:235-315 times detect() per image). Serving postprocess
+    (shared pool M=64, thresh 0.3). Chained iterations: each call's input
+    depends on the previous output, so the wall clock is true per-call
+    latency, not dispatch rate."""
+    anchors = jnp.asarray(ANCHORS)
+    for batch in batches:
+        image_hw = jnp.full((batch, 2), float(size), jnp.float32)
+
+        @jax.jit
+        def infer(variables, images):
+            outs = model.apply(variables, images, False)
+            res = detect_batch(
+                outs, anchors, num_classes=num_classes, image_hw=image_hw,
+                score_threshold=thresh, num_candidates=k,
+            )
+            chained = images + 1e-12 * jnp.mean(res.scores).astype(images.dtype)
+            return chained, res
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+        t_c = time.perf_counter()
+        for _ in range(warmup):
+            images, res = infer(variables, images)
+        jax.block_until_ready((images, res))
+        compile_s = time.perf_counter() - t_c
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            images, res = infer(variables, images)
+            jax.block_until_ready((images, res))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        med = times[len(times) // 2]
+        p99 = times[min(len(times) - 1, int(len(times) * 0.99))]
+        print(json.dumps({
+            "config": f"latency_b{batch}", "batch": batch,
+            "ms_per_batch_median": round(med * 1e3, 3),
+            "ms_per_batch_p99": round(p99 * 1e3, 3),
+            "ms_per_img": round(med * 1e3 / batch, 3),
+            "images_per_sec": round(batch / med, 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
 def main():
     import argparse
 
@@ -94,6 +142,9 @@ def main():
     p.add_argument("--size", type=int, default=320)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--classes", type=int, default=20)
+    p.add_argument("--latency", action="store_true",
+                   help="per-request latency sweep over b1/b8/b32/b256")
+    p.add_argument("--latency_batches", default="1,8,32,256")
     a = p.parse_args()
 
     model = build_detector(a.backbone, num_classes=a.classes, dtype=jnp.bfloat16)
@@ -101,6 +152,13 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, a.size, a.size, 3), jnp.float32),
         False,
     )
+    if a.latency:
+        latency_sweep(
+            model, variables,
+            batches=tuple(int(b) for b in a.latency_batches.split(",")),
+            size=a.size, num_classes=a.classes,
+        )
+        return
     for cfg in CONFIGS:
         if a.configs and cfg[0] not in a.configs:
             continue

@@ -104,12 +104,17 @@ def train(cfg: RunConfig) -> str:
     if cfg.multi_scale:
         train_sizes = [(int(s), int(s)) for s in cfg.multi_scale]
         assert all(h % 32 == 0 for h, _ in train_sizes), "sizes must be /32"
+    # Per-host input sharding: every process replays the same global RNG
+    # stream but decodes only its batch_size*local/global row slice
+    # (host decode cost scales 1/n_hosts; the round-2 design had every
+    # host decoding the full global batch).
     train_dss = [
         Dataset(
             cfg.train_dataset, global_batch, anchors, num_classes,
             input_hw=hw, num_scales=cfg.num_scales,
             max_boxes=cfg.max_boxes, seed=cfg.seed, augment_config=aug_override,
             aa_policy=cfg.autoaugment_policy,
+            process_index=jax.process_index(), process_count=jax.process_count(),
         )
         for hw in train_sizes
     ]
@@ -252,7 +257,7 @@ def train(cfg: RunConfig) -> str:
                 skip_batches=steps_per_epoch
                 * sum(1 for e in range(start_epoch) if e % len(train_dss) == i),
             ),
-            data_shard, size=2,
+            data_shard, size=2, local_data=jax.process_count() > 1,
         )
         for i, ds in enumerate(train_dss)
     ]
