@@ -71,13 +71,25 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
 
     rng = np.random.RandomState(0)
 
+    # Host-readback completion probe: on the tunneled (axon) backend
+    # jax.block_until_ready does NOT reliably wait for execution (round-3
+    # finding: block-based timing measured 5x the chip's peak FLOP/s);
+    # reading one derived scalar back to the host is ground truth. The
+    # chained loop makes the final images depend on every iteration.
+    @jax.jit
+    def probe(im):
+        return jnp.sum(im[0, 0, 0].astype(jnp.float32))
+
+    def sync(images):
+        return float(np.asarray(probe(images)))
+
     def run_config(name, thresh, pool_depth):
         infer = make_infer(thresh, pool_depth)
         images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
         t_c = time.perf_counter()
         for _ in range(warmup):
             images, res = infer(variables, images)
-        jax.block_until_ready((images, res))
+        sync(images)  # also warms the probe program
         compile_s = time.perf_counter() - t_c
         # compile-time creep watch (VERDICT r2 weak #6): machine-readable
         # per-config compile+warmup seconds on stderr
@@ -87,7 +99,7 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
         t0 = time.perf_counter()
         for _ in range(iters):
             images, res = infer(variables, images)
-        jax.block_until_ready((images, res))
+        sync(images)
         dt = time.perf_counter() - t0
         return batch * iters / dt / n_chips
 
@@ -152,11 +164,11 @@ def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int =
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, m = step(state, b, key)
-    jax.block_until_ready(m)
+    float(np.asarray(m["loss"]))  # host readback = true completion (see main)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, b, key)  # state donation chains iterations
-    jax.block_until_ready(m)
+    float(np.asarray(m["loss"]))  # waits for the whole chain via state deps
     dt = time.perf_counter() - t0
     ips = batch * iters / dt / max(1, len(jax.devices()))
     print(json.dumps({

@@ -45,6 +45,19 @@ CONFIGS = [
 ]
 
 
+@jax.jit
+def _probe(im):
+    return jnp.sum(im[0, 0, 0].astype(jnp.float32))
+
+
+def _sync(images) -> float:
+    """True completion barrier: on the tunneled (axon) backend
+    jax.block_until_ready does NOT reliably wait for execution (round-3
+    finding); a host readback of one derived scalar is ground truth.
+    Chained loops make the final images depend on every iteration."""
+    return float(np.asarray(_probe(images)))
+
+
 def bench_config(model, variables, name, pool, use_pallas, k, thresh,
                  batch=256, size=320, iters=30, warmup=5, num_classes=20):
     anchors = jnp.asarray(ANCHORS)
@@ -66,14 +79,14 @@ def bench_config(model, variables, name, pool, use_pallas, k, thresh,
     t_c = time.perf_counter()
     for _ in range(warmup):
         images, res = infer(variables, images)
-    jax.block_until_ready((images, res))
+    _sync(images)  # host readback = true completion (see _sync)
     print(f"{name}: compile+warmup {time.perf_counter() - t_c:.1f}s",
           file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         images, res = infer(variables, images)
-    jax.block_until_ready((images, res))
+    _sync(images)
     dt = time.perf_counter() - t0
     ips = batch * iters / dt / max(1, len(jax.devices()))
     print(json.dumps({
@@ -112,13 +125,14 @@ def latency_sweep(model, variables, batches=(1, 8, 32, 256), size=320,
         t_c = time.perf_counter()
         for _ in range(warmup):
             images, res = infer(variables, images)
-        jax.block_until_ready((images, res))
+        _sync(images)  # warms the probe program too
         compile_s = time.perf_counter() - t_c
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             images, res = infer(variables, images)
-            jax.block_until_ready((images, res))
+            _sync(images)  # per-call readback: latency incl. one ~0.1 ms
+            # host roundtrip (measured on a ready scalar)
             times.append(time.perf_counter() - t0)
         times.sort()
         med = times[len(times) // 2]

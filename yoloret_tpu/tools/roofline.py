@@ -43,7 +43,7 @@ import numpy as np
 # fallback "cpu" keeps the tool runnable in tests.
 PEAKS: Dict[str, Tuple[float, float]] = {
     "v5e": (197e12, 819e9),
-    "v5 litepod": (197e12, 819e9),
+    "v5 lite": (197e12, 819e9),  # device_kind "TPU v5 lite"
     "v4": (275e12, 1228e9),
     "v6e": (918e12, 1640e9),
     "cpu": (1e11, 1e10),
@@ -78,35 +78,53 @@ def _cost(compiled) -> Tuple[float, float]:
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
-def measure_stage(name, fn, args, batch, iters=30, warmup=5):
+def sync_scalar(tree) -> float:
+    """Force completion of everything ``tree`` depends on by reading one
+    derived scalar back to the host. On the tunneled (axon) backend
+    ``jax.block_until_ready`` does NOT reliably wait for execution —
+    timing with it measured 5x the chip's peak FLOP/s in round 3 — while
+    a host readback is ground truth. The probe program itself is tiny;
+    warm it once before timing (first use compiles ~1.5 s server-side).
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    return float(np.asarray(_probe(leaf)))
+
+
+@jax.jit
+def _probe(leaf):
+    return jnp.sum(leaf.astype(jnp.float32).ravel()[:16])
+
+
+def measure_stage(name, fn, args, batch, iters=50, warmup=5):
     """Compile ``fn``, read XLA's cost analysis, and time chained
-    steady-state iterations (the backend overlaps independent dispatches;
-    see bench.py)."""
+    steady-state iterations finished by a host readback (see
+    ``sync_scalar``). Chaining: iteration i+1's input carries a scalar
+    derived from iteration i's output, so the device must run the calls
+    back-to-back and the final readback waits for the whole chain."""
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
     compiled = jfn.lower(*args).compile()
     flops, bytes_ = _cost(compiled)
-    out = compiled(*args)
-    jax.block_until_ready(out)
+    sync_scalar(compiled(*args))
     compile_s = time.perf_counter() - t0
 
-    # chain: feed a scalar derived from the previous output back into the
-    # input so iteration i+1 cannot be dispatched before i finishes
     def chained(x, *rest):
         y = fn(x, *rest)
         leaf = jax.tree.leaves(y)[0]
-        eps = (jnp.mean(leaf.astype(jnp.float32)) * 1e-12).astype(x.dtype)
-        return x + eps, y
+        eps = jnp.mean(leaf.astype(jnp.float32)) * 1e-12
+        xl, treedef = jax.tree.flatten(x)
+        xl = [xl[0] + eps.astype(xl[0].dtype)] + xl[1:]
+        return jax.tree.unflatten(treedef, xl), y
 
     cfn = jax.jit(chained)
     x, rest = args[0], args[1:]
     for _ in range(warmup):
         x, out = cfn(x, *rest)
-    jax.block_until_ready((x, out))
+    sync_scalar(x)  # also warms the probe program
     t0 = time.perf_counter()
     for _ in range(iters):
         x, out = cfn(x, *rest)
-    jax.block_until_ready((x, out))
+    sync_scalar(x)
     dt = (time.perf_counter() - t0) / iters
     return dict(
         stage=name, batch=batch,
