@@ -37,7 +37,11 @@ ANCHORS = np.asarray(
 BASELINE_PER_CHIP = 1250.0  # images/sec/chip (1e4 on v5e-8)
 
 
-def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
+def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5):
+    # batch 128 + uint8 input: the measured round-3 sweet spot
+    # (tools/bench_batch.py: 15.6k img/s vs 13.2k at b256/f32) AND
+    # production parity — the Predictor and the data pipeline transfer
+    # uint8 and normalize on device.
     n_chips = max(1, len(jax.devices()))
     model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
     variables = model.init(
@@ -49,7 +53,8 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
     def make_infer(thresh, pool_depth):
         @jax.jit
         def infer(variables, images):
-            outs = model.apply(variables, images, False)
+            x = images.astype(jnp.float32) * (1.0 / 255.0)
+            outs = model.apply(variables, x, False)
             # Shared-candidate-pool postprocess (ops/postprocess.py::
             # _detect_batch_shared_pool): one top-M over positions +
             # per-position box decode, measured 13.4k img/s/chip at the
@@ -85,7 +90,8 @@ def main(batch: int = 256, size: int = 320, iters: int = 30, warmup: int = 5):
 
     def run_config(name, thresh, pool_depth):
         infer = make_infer(thresh, pool_depth)
-        images = jnp.asarray(rng.rand(batch, size, size, 3).astype(np.float32))
+        images = jnp.asarray(
+            rng.randint(0, 256, (batch, size, size, 3), np.uint8))
         t_c = time.perf_counter()
         for _ in range(warmup):
             images, res = infer(variables, images)

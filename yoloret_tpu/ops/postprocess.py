@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from yoloret_tpu.ops.decode import correct_boxes, decode_scale
 from yoloret_tpu.ops.nms import NMSResult, class_aware_nms
+
 from yoloret_tpu.ops.targets import anchor_masks_for
 
 
@@ -162,6 +163,17 @@ def detect_batch(
             "zoom_outputs: both consume the per-class candidate structure "
             "(pass pool='per_class' or drop them)")
     if pool == "shared" and zoom_outputs is None and not use_pallas:
+        # Compile-time note (round 3, measured): XLA-TPU's backend
+        # passes fall off a compile cliff on this program when
+        # batch * num_candidates is large — b128/M512 compiled in
+        # 330-920 s (server-load-dependent) while b32/M512 took 8.6 s
+        # and b128/M256 7.4 s; the same HLO compiles for CPU in 6 s, and
+        # the suppression loop and top-k each compile in seconds in
+        # isolation. Chunking the batch through lax.map did NOT dodge
+        # the cliff (557-778 s) and cost 13-25% runtime, so it was
+        # reverted. If eval compile time matters, pass
+        # num_candidates=256 (measured -0.003 mAP on the crowded
+        # synthetic, tools/topk_study.py).
         return _detect_batch_shared_pool(
             outputs, anchors, num_classes, image_hw,
             max_det_per_class=max_det_per_class,
@@ -411,6 +423,11 @@ def _detect_batch_shared_pool(
     input_hw = (outputs[0].shape[-4] * 32, outputs[0].shape[-3] * 32)
     b = outputs[0].shape[0]
 
+    # Flat [B, N, 5+C] concat + dense gather. A round-3 experiment
+    # replaced this with fused per-scale score reduction + sparse
+    # per-scale gathers to cut the concat's HBM copy — measured SLOWER
+    # (15.0k vs 15.6k img/s at the b128/u8 serving config; XLA's
+    # program for the 3-way gather+select moved MORE bytes). Kept flat.
     raw_flat = jnp.concatenate(
         [o.astype(jnp.float32).reshape(b, -1, o.shape[-1]) for o in outputs], axis=1
     )  # [B, N, 5+C]

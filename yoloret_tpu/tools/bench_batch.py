@@ -61,6 +61,15 @@ def main(size=320, num_classes=20, backbone="mobilenetv2x75", iters=50):
 
     cases = [(128, False), (256, False), (384, False), (512, False),
              (256, True)]
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("cases", nargs="*",
+                   help="e.g. b128_u8 b256_f32 (default: built-in list)")
+    a = p.parse_args()
+    if a.cases:
+        cases = [(int(c.split("_")[0][1:]), c.endswith("u8"))
+                 for c in a.cases]
     for batch, u8 in cases:
         name = f"b{batch}" + ("_u8" if u8 else "_f32")
         print(f"{name}: compiling...", file=sys.stderr, flush=True)
