@@ -17,10 +17,18 @@ output out — the 6x tensor never touches HBM.
 
 Inference-path only (the backward pass wants XLA's own fusion choices);
 BatchNorm is pre-folded into the conv weights/biases (see
-``yoloret_tpu.nn.fold``). Supports stride 1 (with optional residual)
-and stride 2, with and without the expand conv. The input is host-side
-zero-padded by 1 px on H and W, so every grid step reads a full-size
+``yoloret_tpu.nn.fused_infer.fold_bn``). Supports stride 1 (with
+optional residual) and stride 2, with and without the expand conv. The
+input is host-side zero-padded so every grid step reads a full-size
 block with no boundary conditionals.
+
+STATUS (round 3, measured on v5e): numerically EXACT vs the stock
+forward, but 4.7x SLOWER end to end — Element-indexed overlapping
+blocks disable pallas's pipelined double-buffering, and the forced
+T(8,128) operand layout pads 16-24-channel NHWC tensors ~5x in HBM
+(83 MB/img moved vs stock's 40). Kept as an experimental path; the
+round-4 plan is a manual-DMA double-buffered variant with merged-lane
+layouts (see STATUS.md).
 
 Weight layouts: we [Cin, Ce], wd [3, 3, Ce], wp [Ce, Cout]; biases
 [1, C] (2-D for TPU tiling).
