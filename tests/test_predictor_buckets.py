@@ -40,7 +40,10 @@ def test_request_sizes_share_one_compiled_shape(predictor):
     r4 = predictor.detect_arrays(_frames(4))
     assert [len(r2), len(r3), len(r4)] == [2, 3, 4]
     assert predictor.dispatched_batch_sizes == {4}
-    assert predictor._infer._cache_size() == 1
+    # exactly one TRACE happened (trace-time telemetry — robust to
+    # whatever global jax state other suite modules leave behind,
+    # unlike PjitFunction._cache_size which reads jax internals)
+    assert predictor.traced_batch_sizes == [4]
 
 
 def test_padding_rows_do_not_change_results(predictor):
@@ -60,4 +63,4 @@ def test_oversize_requests_chunk_through_top_bucket(predictor):
     out = predictor.detect_arrays(_frames(9))
     assert len(out) == 9
     assert predictor.dispatched_batch_sizes == {4, 8}
-    assert predictor._infer._cache_size() == 2
+    assert sorted(predictor.traced_batch_sizes) == [4, 8]

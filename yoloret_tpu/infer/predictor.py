@@ -73,6 +73,10 @@ class Predictor:
         assert batch_buckets, "batch_buckets must be non-empty"
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.dispatched_batch_sizes: set = set()  # compiled-shape telemetry
+        # One entry per jit TRACE of _infer (appended at trace time, so a
+        # shape that retraces shows up twice): the ground-truth compile
+        # count for the bucket-padding guarantee.
+        self.traced_batch_sizes: list = []
 
         self.model = build_detector(
             backbone,
@@ -100,6 +104,8 @@ class Predictor:
 
         @jax.jit
         def _infer(variables, images, image_hw):
+            # Trace-time side effect: runs once per compiled batch shape.
+            self.traced_batch_sizes.append(int(images.shape[0]))
             # images arrive uint8 (4x smaller transfer); normalize on device
             images = images.astype(jnp.float32) * (1.0 / 255.0)
             outs = self.model.apply(variables, images, False)

@@ -211,9 +211,12 @@ def train(cfg: RunConfig) -> str:
         if state.ema_params is not None:
             tree["ema_params"] = state.ema_params
         if stopper is not None:
+            # plain python scalars: orbax's standard handler accepts
+            # float/int (np.float64 passes as a float subclass but
+            # np.int64 is NOT an int subclass and is rejected)
             tree["stopper"] = {
-                "best": np.float64(stopper.best),
-                "stale": np.int64(stopper.stale),
+                "best": float(stopper.best),
+                "stale": int(stopper.stale),
             }
         return tree
 
@@ -384,13 +387,23 @@ def train(cfg: RunConfig) -> str:
             _tb_images(epoch, batch["images"])
         if map_ds is not None and cfg.map_every > 0 and (epoch + 1) % cfg.map_every == 0:
             _eval_map(epoch)
-        if stopper is not None and stopper.update(val_loss):
-            print(
-                f"early stopping at epoch {epoch}: val_loss has not "
-                f"improved for {stopper.patience} epochs "
-                f"(best {stopper.best:.4f})"
-            )
-            break
+        if stopper is not None:
+            # With no val split the monitored metric never exists
+            # (Keras EarlyStopping would warn and no-op,
+            # reference train.py:101-105); keep only the divergence
+            # guard on train_loss there — the stopper's NaN-stop rule
+            # is for a genuinely diverged val evaluation.
+            if val_ds is not None:
+                should_stop = stopper.update(val_loss)
+            else:
+                should_stop = not np.isfinite(train_loss)
+            if should_stop:
+                print(
+                    f"early stopping at epoch {epoch}: val_loss has not "
+                    f"improved for {stopper.patience} epochs "
+                    f"(best {stopper.best:.4f})"
+                )
+                break
 
     if map_ds is not None:
         mAP = _eval_map(epoch)
