@@ -168,25 +168,44 @@ def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int =
     }
     step = jax.jit(partial(train_step, cfg=cfg), donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
+    t_c = time.perf_counter()
+    compiled = step.lower(state, b, key).compile()
+    c = compiled.cost_analysis()
+    if isinstance(c, list):
+        c = c[0]
+    flops = float(c.get("flops", 0.0)) / batch
+    bytes_ = float(c.get("bytes accessed", 0.0)) / batch
     for _ in range(warmup):
-        state, m = step(state, b, key)
+        state, m = compiled(state, b, key)
     float(np.asarray(m["loss"]))  # host readback = true completion (see main)
+    compile_s = time.perf_counter() - t_c
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, b, key)  # state donation chains iterations
+        state, m = compiled(state, b, key)  # state donation chains iterations
     float(np.asarray(m["loss"]))  # waits for the whole chain via state deps
     dt = time.perf_counter() - t0
     ips = batch * iters / dt / max(1, len(jax.devices()))
+    from yoloret_tpu.tools.roofline import chip_peaks
+    _, peak_flops, peak_bw = chip_peaks()
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_320",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": None,
+        "batch": batch,
+        "gflop_per_img": round(flops / 1e9, 3),
+        "mb_per_img": round(bytes_ / 1e6, 1),
+        "pct_compute_peak": round(100.0 * flops * ips / peak_flops, 1),
+        "pct_bw_peak": round(100.0 * bytes_ * ips / peak_bw, 1),
+        "compile_s": round(compile_s, 1),
     }))
 
 
 if __name__ == "__main__":
+    kw = {}
+    if "--batch" in sys.argv:
+        kw["batch"] = int(sys.argv[sys.argv.index("--batch") + 1])
     if "--train" in sys.argv:
-        main_train()
+        main_train(**kw)
     else:
-        main()
+        main(**kw)
