@@ -48,6 +48,9 @@ def main(batch=256, size=320, num_classes=20, backbone="mobilenetv2x75",
     def fused_model(x, v):
         return fused_detector_apply(model, v, x)
 
+    def fused_model_v2(x, v):
+        return fused_detector_apply(model, v, x, version=2)
+
     def post(outs):
         return detect_batch(
             outs, anchors, num_classes=num_classes, image_hw=image_hw,
@@ -62,13 +65,15 @@ def main(batch=256, size=320, num_classes=20, backbone="mobilenetv2x75",
 
     # numerical check on-device first: same detections
     a = jax.jit(stock_model)(images[:8], variables)
-    b = jax.jit(fused_model)(images[:8], variables)
-    for ya, yb in zip(a, b):
-        d = float(jnp.max(jnp.abs(ya - yb)))
-        print(f"max |stock - fused| = {d:.5f}", file=sys.stderr)
+    for tag, fn in (("fused", fused_model), ("fused_v2", fused_model_v2)):
+        b = jax.jit(fn)(images[:8], variables)
+        for ya, yb in zip(a, b):
+            d = float(jnp.max(jnp.abs(ya - yb)))
+            print(f"max |stock - {tag}| = {d:.5f}", file=sys.stderr)
     for name, fn in (
         ("stock_model", stock_model),
         ("fused_model", fused_model),
+        ("fused_model_v2", fused_model_v2),
         ("stock_pipeline", stock_pipeline),
         ("fused_pipeline", fused_pipeline),
     ):
