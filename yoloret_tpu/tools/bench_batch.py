@@ -66,6 +66,9 @@ def main(size=320, num_classes=20, backbone="mobilenetv2x75", iters=50):
     p = argparse.ArgumentParser()
     p.add_argument("cases", nargs="*",
                    help="e.g. b128_u8 b256_f32 (default: built-in list)")
+    p.add_argument("--inner", type=int, default=1,
+                   help="in-program chained repeats (amortizes the "
+                        "tunnel's per-execution dispatch floor)")
     a = p.parse_args()
     if a.cases:
         cases = [(int(c.split("_")[0][1:]), c.endswith("u8"))
@@ -76,7 +79,7 @@ def main(size=320, num_classes=20, backbone="mobilenetv2x75", iters=50):
         try:
             fn, imgs = make(batch, u8)
             rec = measure_stage(name, fn, (imgs, variables), batch,
-                                iters=iters)
+                                iters=iters, inner_repeats=a.inner)
             print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
                               for k, v in rec.items()}), flush=True)
         except Exception as e:

@@ -95,12 +95,20 @@ def _probe(leaf):
     return jnp.sum(leaf.astype(jnp.float32).ravel()[:16])
 
 
-def measure_stage(name, fn, args, batch, iters=50, warmup=5):
+def measure_stage(name, fn, args, batch, iters=50, warmup=5,
+                  inner_repeats=1):
     """Compile ``fn``, read XLA's cost analysis, and time chained
     steady-state iterations finished by a host readback (see
     ``sync_scalar``). Chaining: iteration i+1's input carries a scalar
     derived from iteration i's output, so the device must run the calls
-    back-to-back and the final readback waits for the whole chain."""
+    back-to-back and the final readback waits for the whole chain.
+
+    ``inner_repeats=K`` additionally runs K chained steps INSIDE one
+    jitted program (``fori_loop``, so the HLO stays one body). The
+    tunneled backend charges a fixed per-program-execution overhead
+    (~2-3 ms measured round 3) that chained timing alone cannot remove;
+    K in-program repeats divide it by K. A production host overlaps that
+    dispatch with execution, so the K>=8 number is the chip-true one."""
     jfn = jax.jit(fn)
     t0 = time.perf_counter()
     compiled = jfn.lower(*args).compile()
@@ -108,26 +116,32 @@ def measure_stage(name, fn, args, batch, iters=50, warmup=5):
     sync_scalar(compiled(*args))
     compile_s = time.perf_counter() - t0
 
-    def chained(x, *rest):
+    def step(x, *rest):
         y = fn(x, *rest)
         leaf = jax.tree.leaves(y)[0]
         eps = jnp.mean(leaf.astype(jnp.float32)) * 1e-12
         xl, treedef = jax.tree.flatten(x)
         xl = [xl[0] + eps.astype(xl[0].dtype)] + xl[1:]
-        return jax.tree.unflatten(treedef, xl), y
+        return jax.tree.unflatten(treedef, xl)
+
+    def chained(x, *rest):
+        if inner_repeats == 1:
+            return step(x, *rest)
+        return jax.lax.fori_loop(
+            0, inner_repeats, lambda i, xx: step(xx, *rest), x)
 
     cfn = jax.jit(chained)
     x, rest = args[0], args[1:]
     for _ in range(warmup):
-        x, out = cfn(x, *rest)
+        x = cfn(x, *rest)
     sync_scalar(x)  # also warms the probe program
     t0 = time.perf_counter()
     for _ in range(iters):
-        x, out = cfn(x, *rest)
+        x = cfn(x, *rest)
     sync_scalar(x)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / (iters * inner_repeats)
     return dict(
-        stage=name, batch=batch,
+        stage=name, batch=batch, inner_repeats=inner_repeats,
         flops_per_img=flops / batch, bytes_per_img=bytes_ / batch,
         ms_per_batch=dt * 1e3, img_per_sec=batch / dt, compile_s=compile_s,
     )
@@ -153,7 +167,7 @@ def annotate_roofline(rec: dict, peak_flops: float, peak_bw: float) -> dict:
 
 def run_config(name, backbone, size, num_classes, batch,
                score_threshold=0.3, num_candidates=64, iters=30,
-               stages=("model", "post", "pipeline")):
+               stages=("model", "post", "pipeline"), inner_repeats=1):
     from yoloret_tpu.nn import build_detector
     from yoloret_tpu.ops import detect_batch
 
@@ -191,7 +205,8 @@ def run_config(name, backbone, size, num_classes, batch,
     for stage in stages:
         fn, args = stage_fns[stage]
         print(f"{name}/{stage}: compiling...", file=sys.stderr, flush=True)
-        rec = measure_stage(stage, fn, args, batch, iters=iters)
+        rec = measure_stage(stage, fn, args, batch, iters=iters,
+                            inner_repeats=inner_repeats)
         rec = annotate_roofline(rec, peak_flops, peak_bw)
         rec["config"] = name
         rec["device"] = kind
@@ -207,12 +222,16 @@ def main(argv: Optional[list] = None):
     p.add_argument("configs", nargs="*", help="subset of config names")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--stages", default="model,post,pipeline")
+    p.add_argument("--inner", type=int, default=1,
+                   help="in-program chained repeats (amortizes the "
+                        "tunnel's per-execution dispatch floor)")
     a = p.parse_args(argv)
     for cfg in CONFIGS:
         if a.configs and cfg[0] not in a.configs:
             continue
         try:
-            run_config(*cfg, iters=a.iters, stages=tuple(a.stages.split(",")))
+            run_config(*cfg, iters=a.iters, stages=tuple(a.stages.split(",")),
+                       inner_repeats=a.inner)
         except Exception as e:
             print(json.dumps({"config": cfg[0], "error": repr(e)[:300]}),
                   flush=True)
