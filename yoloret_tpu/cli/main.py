@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export", type=str, help="export output dir")
     p.add_argument("--image", type=str, help="image path (IMAGE mode)")
     p.add_argument("--video", type=str, help="video path or 0 (VIDEO mode)")
+    p.add_argument("--track_interval", type=int,
+                   help="VIDEO: re-detect every N frames, CPU-track "
+                        "between (1 = detect every frame)")
     p.add_argument("--output", type=str)
     p.add_argument("--quantize", action="store_true")
     p.add_argument("--prune", action="store_true")
@@ -179,7 +182,8 @@ def main(argv=None) -> int:
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
             iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
         )
-        n = pred.detect_video(cfg.video, cfg.output)
+        n = pred.detect_video(cfg.video, cfg.output,
+                              track_interval=cfg.track_interval)
         print(f"processed {n} frames")
     elif mode_name == "MAP":
         from yoloret_tpu.data import Dataset, DatasetMode, load_anchors, load_classes

@@ -137,6 +137,9 @@ class RunConfig:
     export: Optional[str] = None
     image: Optional[str] = None  # input for IMAGE mode
     video: Optional[str] = None  # input for VIDEO mode (0 = webcam)
+    track_interval: int = 1  # VIDEO mode: re-detect every N frames and
+    # track (OpenCV CSRT/MIL) in between (reference yolo.py:470-520);
+    # 1 = detect every frame (TPU-native default)
     output: Optional[str] = None  # output path for IMAGE/VIDEO/EXPORT
 
     def replace(self, **kw) -> "RunConfig":

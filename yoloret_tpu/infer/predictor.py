@@ -204,10 +204,25 @@ class Predictor:
 
     # -- video API (reference detect_video, yolo.py:435-554) ----------------
 
-    def detect_video(self, source, output: Optional[str] = None, max_frames: Optional[int] = None):
-        """OpenCV capture loop with FPS overlay; detects every frame
-        (the reference's CSRT-tracker interleave was a Jetson-CPU
-        workaround; on TPU per-frame detection is faster than tracking).
+    def detect_video(
+        self,
+        source,
+        output: Optional[str] = None,
+        max_frames: Optional[int] = None,
+        track_interval: int = 1,
+        max_tracks: int = 20,
+    ):
+        """OpenCV capture loop with FPS overlay.
+
+        ``track_interval=1`` (default) detects every frame — on TPU the
+        detector outruns any CPU tracker, so this is the native path.
+        ``track_interval=N>1`` reproduces the reference's interleave
+        (yolo.py:470-520: detect once, then hand each box to a CSRT
+        tracker for the following frames, re-detecting every N frames).
+        This build of OpenCV lacks contrib CSRT; :func:`_make_tracker`
+        picks CSRT when present, else MIL — same interleave contract.
+        ``max_tracks`` caps the per-cycle tracker count (tracker updates
+        are host-CPU work that scales linearly with boxes).
         """
         import cv2
 
@@ -222,13 +237,41 @@ class Predictor:
             h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             writer = cv2.VideoWriter(output, fourcc, fps, (w, h))
         n, t0 = 0, time.perf_counter()
+        trackers: List[Tuple[object, Detection]] = []
         try:
             while True:
                 ok, frame = cap.read()
                 if not ok or (max_frames is not None and n >= max_frames):
                     break
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                dets = self.detect_arrays([rgb])[0]
+                if track_interval <= 1 or n % track_interval == 0:
+                    rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    dets = self.detect_arrays([rgb])[0]
+                    if track_interval > 1:
+                        trackers = []
+                        h, w = frame.shape[:2]
+                        for d in dets[:max_tracks]:
+                            x1, y1, x2, y2 = d.box
+                            x1 = max(0.0, min(x1, w - 2.0))
+                            y1 = max(0.0, min(y1, h - 2.0))
+                            bw = max(1.0, min(x2, w) - x1)
+                            bh = max(1.0, min(y2, h) - y1)
+                            t = _make_tracker(cv2)
+                            t.init(frame, (int(x1), int(y1), int(bw), int(bh)))
+                            trackers.append((t, d))
+                else:
+                    dets = []
+                    kept = []
+                    for t, d in trackers:
+                        ok_t, (x, y, bw, bh) = t.update(frame)
+                        if not ok_t:
+                            continue
+                        d = Detection(
+                            (float(x), float(y), float(x + bw), float(y + bh)),
+                            d.score, d.class_id, d.class_name,
+                        )
+                        kept.append((t, d))
+                        dets.append(d)
+                    trackers = kept
                 for d in dets:
                     x1, y1, x2, y2 = [int(v) for v in d.box]
                     cv2.rectangle(frame, (x1, y1), (x2, y2), (0, 255, 0), 2)
@@ -249,6 +292,24 @@ class Predictor:
             if writer is not None:
                 writer.release()
         return n
+
+
+def _make_tracker(cv2):
+    """Best available single-object tracker: CSRT (the reference's
+    choice, yolo.py:474) when OpenCV ships contrib, else KCF, else MIL
+    (always present in this image's cv2 5.0)."""
+    for name in ("TrackerCSRT", "TrackerKCF", "TrackerMIL"):
+        cls = getattr(cv2, name, None) or getattr(
+            getattr(cv2, "legacy", None), name, None)
+        if cls is not None:
+            try:
+                return cls.create()
+            except Exception:
+                pass
+        fn = getattr(cv2, f"{name}_create", None)
+        if fn is not None:
+            return fn()
+    raise RuntimeError("no OpenCV tracker implementation available")
 
 
 def draw_detections(image, detections: Sequence[Detection], class_names: Sequence[str]):
