@@ -1,0 +1,97 @@
+"""Stock-bf16 vs W8A8-int8 serving pipeline on the TPU.
+
+The roofline study pinned every config bandwidth-bound; the int8 path
+(nn/int8_infer.py) halves the backbone's HBM traffic, so if XLA lowers
+int8 convs well on this backend the pipeline should approach the f32
+roof x2. This tool measures both programs under the same chained +
+readback timing (tools/roofline.py) and prints one JSON line per case.
+
+    nohup python -m yoloret_tpu.tools.bench_int8 > /tmp/int8.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoloret_tpu.nn import build_detector
+from yoloret_tpu.nn.int8_infer import int8_detector_apply, quantize_from_data
+from yoloret_tpu.ops import detect_batch
+from yoloret_tpu.tools.roofline import annotate_roofline, chip_peaks, measure_stage
+
+ANCHORS = np.asarray(
+    [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45],
+     [59, 119], [116, 90], [156, 198], [373, 326]],
+    np.float32,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--size", type=int, default=320)
+    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--inner", type=int, default=1)
+    p.add_argument("--backbone", default="mobilenetv2x75")
+    p.add_argument("--stages", default="stock,int8,int8_model")
+    a = p.parse_args()
+
+    model = build_detector(a.backbone, num_classes=20, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, a.size, a.size, 3)), False)
+    rng = np.random.RandomState(0)
+    print("calibrating...", file=sys.stderr, flush=True)
+    qp = quantize_from_data(
+        model, variables,
+        rng.rand(16, a.size, a.size, 3).astype(np.float32), batch=8)
+    anchors = jnp.asarray(ANCHORS)
+    image_hw = jnp.full((a.batch, 2), float(a.size), jnp.float32)
+    imgs = jnp.asarray(
+        rng.randint(0, 256, (a.batch, a.size, a.size, 3), np.uint8))
+
+    def post(outs):
+        return detect_batch(outs, anchors, num_classes=20,
+                            image_hw=image_hw, score_threshold=0.3,
+                            num_candidates=64)
+
+    def stock(x, v):
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return post(model.apply(v, x, False))
+
+    # qp is closed over, not a jit argument: its static fields (stride,
+    # residual) must stay Python values, and its arrays are constants of
+    # the serving program anyway.
+    def int8(x):
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return post(int8_detector_apply(model, variables, qp, x))
+
+    def int8_model(x):
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return int8_detector_apply(model, variables, qp, x)
+
+    kind, pf, pb = chip_peaks()
+    cases = dict(stock=(stock, (imgs, variables)),
+                 int8=(int8, (imgs,)),
+                 int8_model=(int8_model, (imgs,)))
+    for name in a.stages.split(","):
+        fn, args = cases[name]
+        print(f"{name}: compiling...", file=sys.stderr, flush=True)
+        try:
+            rec = measure_stage(name, fn, args, a.batch, iters=a.iters,
+                                inner_repeats=a.inner)
+            rec = annotate_roofline(rec, pf, pb)
+            rec["device"] = kind
+            print(json.dumps({k: round(v, 3) if isinstance(v, float) else v
+                              for k, v in rec.items()}), flush=True)
+        except Exception as e:
+            print(json.dumps({"stage": name, "error": repr(e)[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
