@@ -11,8 +11,9 @@ is insensitive and the study would say nothing), exports
   * f32 TFLite (dynamic-range weight compression, reference parity)
   * full-int8 TFLite (representative-dataset calibration)
 
-and scores all three backends (JAX f32 oracle included) with the same
-VOC-2010 evaluator over the training scenes.
+and scores the backends (JAX f32 oracle, the on-TPU W8A8 path from
+nn/int8_infer.py, and both TFLite flavors) with the same VOC-2010
+evaluator over the training scenes.
 
     python -m yoloret_tpu.tools.int8_study [--epochs 40] [--size 160]
 
@@ -98,12 +99,43 @@ def run(epochs: int = 60, size: int = 160, batch: int = 8,
     grids = [(size // s, size // s) for s in (32, 16, 8)]
     backends = {}
 
+    # on-TPU W8A8 path (nn/int8_infer.py): same trained weights, same
+    # 16-image calibration budget as the TFLite converter gets
+    import jax as _jax
+
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.nn.int8_infer import int8_detector_apply, quantize_from_data
+    from yoloret_tpu.utils.checkpoint import load_params
+
+    model = build_detector(ecfg.backbone, num_classes=nc, dtype=jnp.float32)
+    variables = model.init(
+        _jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)), False)
+    variables = load_params(weights, like=variables)
+    calib = np.stack([
+        letterbox_numpy_u8(arr, (size, size)).astype(np.float32) / 255.0
+        for arr, _ in samples[:16]
+    ])
+    qp = quantize_from_data(model, variables, calib, batch=8)
+
+    @_jax.jit
+    def infer_jax_int8(images, hw):
+        r = detect_batch(
+            int8_detector_apply(model, variables, qp, images),
+            anchors_j, num_classes=nc, image_hw=hw,
+            score_threshold=ecfg.score_threshold,
+            iou_threshold=ecfg.nms_iou, approx_topk=False,
+        )
+        return r.boxes, r.scores, r.classes, r.valid
+
     def detections_for(arr, backend):
         img = letterbox_numpy_u8(arr, (size, size)).astype(np.float32) / 255.0
         images = img[None]
         hw = np.asarray([[arr.shape[0], arr.shape[1]]], np.float32)
         if backend == "jax_f32":
             b, s, c, v = [np.asarray(x) for x in infer_jax(images, hw)]
+        elif backend == "jax_int8":
+            b, s, c, v = [np.asarray(x) for x in
+                          infer_jax_int8(jnp.asarray(images), jnp.asarray(hw))]
         elif backend == "tflite_f32":
             outs = _interp_outputs(backends[backend], images, hw)
             n_det = [sh[0] for (dt, sh) in outs if dt == "float32" and len(sh) == 2][0]
@@ -139,7 +171,7 @@ def run(epochs: int = 60, size: int = 160, batch: int = 8,
         backends[name] = interp
 
     rows = []
-    for backend in ("jax_f32", "tflite_f32", "tflite_int8"):
+    for backend in ("jax_f32", "jax_int8", "tflite_f32", "tflite_int8"):
         ev = MAPEvaluator(num_classes=len(CLASS_NAMES))
         for arr, gtb in samples:
             db, ds_, dc = detections_for(arr, backend)
