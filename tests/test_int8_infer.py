@@ -128,6 +128,34 @@ def test_int8_detector_finds_same_objects():
         np.testing.assert_allclose(rb[order_r], gb[order_g], atol=6.0)
 
 
+def test_effnet_int8_features_close_to_f32():
+    model = build_detector("efficientnetb0", num_classes=3)
+    variables = _variables(model, size=64)
+    rng = np.random.RandomState(0)
+    calib = rng.rand(4, 64, 64, 3).astype(np.float32)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+
+    from yoloret_tpu.nn.int8_infer import (
+        calibrate_efficientnet,
+        efficientnet_int8_features,
+        quantize_efficientnet,
+    )
+
+    scales = calibrate_efficientnet(variables, [calib], variant="b0")
+    qp = quantize_efficientnet(variables, scales, variant="b0")
+    got = efficientnet_int8_features(qp, x, dtype=jnp.float32)
+    want = model.apply(
+        variables, x,
+        method=lambda m, xx: m.body(xx.astype(jnp.float32), False))
+    assert set(got) == {"c2", "c3", "c4", "c5"}
+    for k in ("c2", "c3", "c4", "c5"):
+        g, w = np.asarray(got[k], np.float32), np.asarray(want[k], np.float32)
+        rel = np.sqrt(np.mean((g - w) ** 2)) / (np.sqrt(np.mean(w ** 2)) + 1e-8)
+        corr = np.corrcoef(g.ravel(), w.ravel())[0, 1]
+        assert rel < 0.15, (k, rel)
+        assert corr > 0.98, (k, corr)
+
+
 def test_int8_rejects_other_backbones():
     model = build_detector("yolo_fastest", num_classes=2)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -1,4 +1,5 @@
-"""W8A8 int8 inference path for the MobileNetV2 backbone.
+"""W8A8 int8 inference path for the MobileNetV2 and EfficientNet
+backbones.
 
 The roofline study (docs/design.md) found every paper config
 BANDWIDTH-bound at 57-72% of the v5e HBM roof, with the backbone's
@@ -19,6 +20,8 @@ Quantization scheme (TFLite-flavored, simplified):
     zeros == real zeros; no zero-point correction needed);
   * stem (3-channel input) and the RFCR/neck stay bf16 — their traffic
     is small; only the backbone conv chain is quantized;
+  * EfficientNet's SE blocks run in f32 on the pooled vector (tiny);
+    the expanded tensor they scale is read/written as int8;
   * taps c2/c3/c4/c5 dequantize to the model dtype for the neck.
 
 The reference ships int8 only as a TFLite edge artifact
@@ -128,7 +131,7 @@ def calibrate_mobilenetv2(
 # weight quantization
 
 
-def _quant_w(w: jnp.ndarray, axis_last: bool = True):
+def _quant_w(w: jnp.ndarray):
     """Symmetric per-output-channel int8. w: [..., Cout]. Returns
     (w_q int8, w_s f32 [Cout])."""
     red = tuple(range(w.ndim - 1))
@@ -195,22 +198,261 @@ def _conv_i8(x, w, strides=(1, 1), padding="VALID", fgc=1):
         feature_group_count=fgc, preferred_element_type=jnp.int32)
 
 
+def _act(y: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "relu6":
+        return relu6(y)
+    if kind == "swish":
+        return y * jax.nn.sigmoid(y)
+    raise ValueError(kind)
+
+
 def _int8_block(xq: jnp.ndarray, blk: Dict[str, Any]) -> jnp.ndarray:
+    """One quantized MBConv / inverted-residual block. Every tensor
+    between convs is int8; dequant -> act -> (SE scale) -> requant
+    chains are f32 elementwise that XLA fuses into the conv epilogues.
+    ``blk`` schema: see ``quantize_mobilenetv2`` /
+    ``quantize_efficientnet``."""
+    act = blk.get("act", "relu6")
     y = xq
     if "we_q" in blk:
         e = _conv_i8(y, blk["we_q"])
-        e = relu6(e.astype(jnp.float32) * blk["e_deq"] + blk["e_bias"])
+        e = _act(e.astype(jnp.float32) * blk["e_deq"] + blk["e_bias"], act)
         y = _q(e, blk["e_s"])
     ce = blk["wd_q"].shape[-1]
     st = blk["stride"]
     d = _conv_i8(y, blk["wd_q"], (st, st), "SAME", fgc=ce)
-    d = relu6(d.astype(jnp.float32) * blk["d_deq"] + blk["d_bias"])
+    d = _act(d.astype(jnp.float32) * blk["d_deq"] + blk["d_bias"], act)
     y = _q(d, blk["d_s"])
+    if "se_reduce_w" in blk:
+        # SE in f32 on the pooled vector (tiny); the big expanded tensor
+        # is read back as int8 for both the mean and the scale-multiply
+        m = jnp.mean(y.astype(jnp.float32), axis=(1, 2),
+                     keepdims=True) * blk["d_s"]
+        s = _act(
+            jax.lax.conv_general_dilated(
+                m, blk["se_reduce_w"], (1, 1), "VALID",
+                dimension_numbers=_DN) + blk["se_reduce_b"], "swish")
+        s = jax.nn.sigmoid(
+            jax.lax.conv_general_dilated(
+                s, blk["se_excite_w"], (1, 1), "VALID",
+                dimension_numbers=_DN) + blk["se_excite_b"])
+        y = _q(y.astype(jnp.float32) * (blk["d_s"] * s), blk["p_in_s"])
     p = _conv_i8(y, blk["wp_q"])
     p = p.astype(jnp.float32) * blk["p_deq"] + blk["p_bias"]
     if blk["residual"]:
         p = p + xq.astype(jnp.float32) * blk["in_s"]
     return _q(p, blk["out_s"])
+
+
+# --------------------------------------------------------------------------
+# EfficientNet family (swish activations, SE blocks, kxk depthwise)
+
+
+def _effnet_meta(variables, variant: str):
+    """[(name, stride, residual, k, tap_key_or_None, folded args, se
+    params)] for stages 0..last tap, BN folded (f32)."""
+    from yoloret_tpu.nn.efficientnet import _TAP_STAGES, decode_block_args
+
+    p = variables["params"]["body"]
+    s = variables["batch_stats"]["body"]
+    stages, _ = decode_block_args(variant)
+    last_tap = max(_TAP_STAGES)
+    meta = []
+    for si, stage in enumerate(stages):
+        if si > last_tap:
+            break
+        for r in range(stage.num_repeat):
+            name = f"stage_{si}_block_{r}"
+            strides = tuple(stage.strides) if r == 0 else (1, 1)
+            in_f = stage.input_filters if r == 0 else stage.output_filters
+            residual = (stage.id_skip and strides == (1, 1)
+                        and in_f == stage.output_filters)
+            bp, bs = p[name], s[name]
+            if "expand" in bp:
+                ke, be = fold_bn(bp["expand"]["conv"]["kernel"],
+                                 bp["expand"]["bn"], bs["expand"]["bn"])
+            else:
+                ke = be = None
+            kd, bd = fold_bn(bp["depthwise"]["dwconv"]["kernel"],
+                             bp["depthwise"]["bn"], bs["depthwise"]["bn"])
+            kp, bpj = fold_bn(bp["project"]["conv"]["kernel"],
+                              bp["project"]["bn"], bs["project"]["bn"])
+            se = None
+            if "se" in bp:
+                se = dict(
+                    reduce_w=bp["se"]["reduce"]["kernel"],
+                    reduce_b=bp["se"]["reduce"]["bias"],
+                    excite_w=bp["se"]["excite"]["kernel"],
+                    excite_b=bp["se"]["excite"]["bias"],
+                )
+            tap = _TAP_STAGES.get(si) if r == stage.num_repeat - 1 else None
+            meta.append((name, strides[0], residual, stage.kernel_size,
+                         tap, (ke, be, kd, bd, kp, bpj), se))
+    return meta
+
+
+def _effnet_stem_f32(variables, x):
+    from yoloret_tpu.nn.layers import swish
+
+    p = variables["params"]["body"]
+    s = variables["batch_stats"]["body"]
+    ks, bs = fold_bn(p["stem"]["conv"]["kernel"], p["stem"]["bn"],
+                     s["stem"]["bn"])
+    y = jax.lax.conv_general_dilated(
+        x, ks, (2, 2), "SAME", dimension_numbers=_DN)
+    return swish(y + bs)
+
+
+def _effnet_block_f32(x, m):
+    """f32 oracle forward of one block from its meta entry, returning
+    the calibration intermediates (e, d, p_in, out)."""
+    from yoloret_tpu.nn.layers import swish
+
+    _, stride, residual, k, _, (ke, be, kd, bd, kp, bpj), se = m
+    y = x
+    e = None
+    if ke is not None:
+        e = swish(jax.lax.conv_general_dilated(
+            y, ke, (1, 1), "SAME", dimension_numbers=_DN) + be)
+        y = e
+    ce = kd.shape[-1]
+    d = swish(jax.lax.conv_general_dilated(
+        y, kd, (stride, stride), "SAME", dimension_numbers=_DN,
+        feature_group_count=ce) + bd)
+    y = d
+    if se is not None:
+        mpool = jnp.mean(y, axis=(1, 2), keepdims=True)
+        t = swish(jax.lax.conv_general_dilated(
+            mpool, se["reduce_w"], (1, 1), "VALID",
+            dimension_numbers=_DN) + se["reduce_b"])
+        t = jax.nn.sigmoid(jax.lax.conv_general_dilated(
+            t, se["excite_w"], (1, 1), "VALID",
+            dimension_numbers=_DN) + se["excite_b"])
+        y = y * t
+    p_in = y
+    out = jax.lax.conv_general_dilated(
+        y, kp, (1, 1), "SAME", dimension_numbers=_DN) + bpj
+    if residual:
+        out = out + x
+    return e, d, p_in, out
+
+
+def calibrate_efficientnet(
+    variables: Dict[str, Any],
+    batches: Sequence[np.ndarray],
+    variant: str = "b3",
+) -> Dict[str, Any]:
+    """Per-tensor activation amax scales (see
+    ``calibrate_mobilenetv2``); blocks additionally get ``p_in`` (the
+    post-SE project input)."""
+    meta = _effnet_meta(variables, variant)
+
+    @jax.jit
+    def amaxes(x):
+        rec = []
+        x = _effnet_stem_f32(variables, x)
+        rec.append(jnp.max(jnp.abs(x)))
+        for m in meta:
+            e, d, p_in, out = _effnet_block_f32(x, m)
+            vals = [jnp.max(jnp.abs(d)), jnp.max(jnp.abs(p_in)),
+                    jnp.max(jnp.abs(out))]
+            if e is not None:
+                vals.insert(0, jnp.max(jnp.abs(e)))
+            rec.append(jnp.stack(vals))
+            x = out
+        return rec
+
+    acc = None
+    for b in batches:
+        vals = [np.asarray(v) for v in amaxes(jnp.asarray(b, jnp.float32))]
+        acc = vals if acc is None else [np.maximum(a, v)
+                                        for a, v in zip(acc, vals)]
+    out: Dict[str, Any] = {"stem": float(acc[0]) / 127.0, "blocks": []}
+    for m, blk in zip(meta, acc[1:]):
+        has_e = m[5][0] is not None
+        blk = [float(v) / 127.0 for v in np.asarray(blk)]
+        rec = {"d": blk[-3], "p_in": blk[-2], "out": blk[-1]}
+        if has_e:
+            rec["e"] = blk[0]
+        out["blocks"].append(rec)
+    return out
+
+
+def quantize_efficientnet(
+    variables: Dict[str, Any],
+    scales: Dict[str, Any],
+    variant: str = "b3",
+) -> Dict[str, Any]:
+    """Int8 parameter tree for the EfficientNet backbone (swish + SE;
+    same schema as ``quantize_mobilenetv2`` plus ``act``/SE fields)."""
+    meta = _effnet_meta(variables, variant)
+    p = variables["params"]["body"]
+    s = variables["batch_stats"]["body"]
+    ks, bs = fold_bn(p["stem"]["conv"]["kernel"], p["stem"]["bn"],
+                     s["stem"]["bn"])
+    qp: Dict[str, Any] = {
+        "stem": dict(kernel=ks, bias=bs, out_s=scales["stem"], act="swish"),
+        "blocks": [], "taps": {},
+    }
+    in_s = scales["stem"]
+    for bi, (m, sc) in enumerate(zip(meta, scales["blocks"])):
+        name, stride, residual, k, tap, (ke, be, kd, bd, kp, bpj), se = m
+        blk: Dict[str, Any] = dict(stride=stride, residual=residual,
+                                   in_s=in_s, out_s=sc["out"], act="swish")
+        if ke is not None:
+            wq, ws = _quant_w(ke[0, 0])
+            blk["we_q"] = wq[None, None]
+            blk["e_deq"] = in_s * ws
+            blk["e_bias"] = be.astype(jnp.float32)
+            blk["e_s"] = sc["e"]
+            d_in_s = sc["e"]
+        else:
+            d_in_s = in_s
+        ce = kd.shape[-1]
+        wq, ws = _quant_w(kd.reshape(k * k, ce))
+        blk["wd_q"] = wq.reshape(k, k, 1, ce)
+        blk["d_deq"] = d_in_s * ws
+        blk["d_bias"] = bd.astype(jnp.float32)
+        blk["d_s"] = sc["d"]
+        p_in_s = sc["d"]
+        if se is not None:
+            blk["se_reduce_w"] = se["reduce_w"]
+            blk["se_reduce_b"] = se["reduce_b"]
+            blk["se_excite_w"] = se["excite_w"]
+            blk["se_excite_b"] = se["excite_b"]
+            blk["p_in_s"] = sc["p_in"]
+            p_in_s = sc["p_in"]
+        wq, ws = _quant_w(kp[0, 0])
+        blk["wp_q"] = wq[None, None]
+        blk["p_deq"] = p_in_s * ws
+        blk["p_bias"] = bpj.astype(jnp.float32)
+        qp["blocks"].append(blk)
+        if tap:
+            qp["taps"][bi] = tap
+        in_s = sc["out"]
+    return qp
+
+
+def efficientnet_int8_features(
+    qp: Dict[str, Any],
+    x: jnp.ndarray,
+    dtype: Any = jnp.bfloat16,
+) -> Dict[str, jnp.ndarray]:
+    """Pyramid features {c2..c5} with the EfficientNet backbone conv
+    chain crossing HBM as int8 (SE pools/scales in fused f32)."""
+    st = qp["stem"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), st["kernel"].astype(dtype), (2, 2), "SAME",
+        dimension_numbers=_DN)
+    y = _act(y.astype(jnp.float32) + st["bias"], "swish")
+    xq = _q(y, st["out_s"])
+    feats: Dict[str, jnp.ndarray] = {}
+    for bi, blk in enumerate(qp["blocks"]):
+        xq = _int8_block(xq, blk)
+        if bi in qp["taps"]:
+            feats[qp["taps"][bi]] = (
+                xq.astype(jnp.float32) * blk["out_s"]).astype(dtype)
+    return feats
 
 
 def mobilenetv2_int8_features(
@@ -243,11 +485,15 @@ def int8_detector_apply(
     images: jnp.ndarray,
 ):
     """Inference forward matching ``model.apply(variables, images,
-    False)`` with the MobileNetV2 backbone on the int8 path (RFCR +
-    neck stay on the stock bf16 modules). ``images``: [B,H,W,3] float
-    in [0,1]."""
-    assert model.backbone in _ALPHAS, "int8 path supports mobilenetv2*"
-    feats = mobilenetv2_int8_features(qp, images, dtype=model.dtype)
+    False)`` with the backbone on the int8 path (RFCR + neck stay on
+    the stock bf16 modules). ``images``: [B,H,W,3] float in [0,1]."""
+    if model.backbone in _ALPHAS:
+        feats = mobilenetv2_int8_features(qp, images, dtype=model.dtype)
+    elif model.backbone.startswith("efficientnetb"):
+        feats = efficientnet_int8_features(qp, images, dtype=model.dtype)
+    else:
+        raise AssertionError(
+            "int8 path supports mobilenetv2* / efficientnetb*")
 
     def neck_part(m, feats):
         from yoloret_tpu.nn.layers import maxpool_downsample
@@ -274,8 +520,14 @@ def quantize_from_data(
 ) -> Dict[str, Any]:
     """Calibrate + quantize in one call. ``sample_images``: [N,H,W,3]
     floats in [0,1] (a few dozen representative images)."""
-    alpha = _ALPHAS[model.backbone]
     arr = np.asarray(sample_images, np.float32)
     batches = [arr[i:i + batch] for i in range(0, len(arr), batch)]
-    scales = calibrate_mobilenetv2(variables, batches, alpha=alpha)
-    return quantize_mobilenetv2(variables, scales, alpha=alpha)
+    if model.backbone in _ALPHAS:
+        alpha = _ALPHAS[model.backbone]
+        scales = calibrate_mobilenetv2(variables, batches, alpha=alpha)
+        return quantize_mobilenetv2(variables, scales, alpha=alpha)
+    if model.backbone.startswith("efficientnetb"):
+        variant = model.backbone[len("efficientnet"):]
+        scales = calibrate_efficientnet(variables, batches, variant=variant)
+        return quantize_efficientnet(variables, scales, variant=variant)
+    raise AssertionError("int8 path supports mobilenetv2* / efficientnetb*")
