@@ -42,6 +42,62 @@ def test_round2_flags():
     assert d.tb_images == 0 and not d.exact_nms
 
 
+def test_round3_flags():
+    args = build_parser().parse_args(["--track_interval=3", "--int8"])
+    cfg = args_to_config(args)
+    assert cfg.track_interval == 3 and cfg.int8
+    d = args_to_config(build_parser().parse_args([]))
+    assert d.track_interval == 1 and not d.int8
+
+
+def test_every_parser_flag_reaches_the_config():
+    """Every parser flag whose dest matches a RunConfig field must be in
+    args_to_config's overrides list — a flag that parses but silently
+    never reaches the config is a bug (caught live with
+    --track_interval in round 3)."""
+    import dataclasses
+
+    parser = build_parser()
+    fields = {f.name for f in dataclasses.fields(RunConfig)}
+    handled_elsewhere = {"mode", "config"}
+    base = args_to_config(parser.parse_args([]))
+    for action in parser._actions:
+        dest = action.dest
+        if dest in handled_elsewhere or dest not in fields:
+            continue
+        if isinstance(base.__getattribute__(dest), bool):
+            want = getattr(action, "const", None)
+            if want is None or want == base.__getattribute__(dest):
+                continue  # flag sets the default value — unobservable
+            argv = [action.option_strings[0]]
+        elif dest in ("epochs", "learning_rate"):
+            argv = [action.option_strings[0], "9", "9"]
+            want = (9.0, 9.0) if dest == "learning_rate" else (9, 9)
+        elif dest == "multi_scale":
+            argv = [action.option_strings[0], "320"]
+            want = [320]
+        elif dest == "input_size":
+            argv = [f"{action.option_strings[0]}=64"]
+            want = (64, 64)
+        elif action.type is int:
+            argv = [f"{action.option_strings[0]}=9"]
+            want = 9
+        elif action.type is float:
+            argv = [f"{action.option_strings[0]}=0.125"]
+            want = 0.125
+        elif getattr(action, "choices", None):
+            choice = sorted(action.choices)[0]
+            argv = [f"{action.option_strings[0]}={choice}"]
+            want = choice
+        else:
+            argv = [f"{action.option_strings[0]}=XVAL"]
+            want = "XVAL"
+        cfg = args_to_config(parser.parse_args(argv))
+        assert cfg.__getattribute__(dest) == want, (
+            f"flag {action.option_strings[0]} (dest={dest}) does not "
+            "reach the RunConfig — add it to args_to_config")
+
+
 def test_rectangular_input_size():
     args = build_parser().parse_args(["--input_size=320,416"])
     assert args_to_config(args).input_size == (320, 416)

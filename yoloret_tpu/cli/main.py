@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "between (1 = detect every frame)")
     p.add_argument("--output", type=str)
     p.add_argument("--quantize", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="serve IMAGE/VIDEO/MAP through the W8A8 backbone "
+                        "(nn/int8_infer.py)")
     p.add_argument("--prune", action="store_true")
     return p
 
@@ -120,7 +123,8 @@ def args_to_config(args) -> RunConfig:
         "autoaugment_policy "
         "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "
-        "bf16 mesh_data export image video output quantize prune freeze train_unfreeze"
+        "bf16 mesh_data export image video output quantize prune freeze "
+        "train_unfreeze track_interval int8"
     ).split():
         if hasattr(args, f):
             overrides[f] = getattr(args, f)
@@ -163,6 +167,7 @@ def main(argv=None) -> int:
             classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
             iou_threshold=cfg.nms_iou, bf16=cfg.bf16, use_ema=cfg.use_ema,
+            **_int8_kw(cfg),
         )
         img, dets = pred.detect_image(cfg.image or _demo_image())
         out = cfg.output or "demo_out.png"
@@ -181,6 +186,7 @@ def main(argv=None) -> int:
             classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
             iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
+            **_int8_kw(cfg),
         )
         n = pred.detect_video(cfg.video, cfg.output,
                               track_interval=cfg.track_interval)
@@ -198,6 +204,7 @@ def main(argv=None) -> int:
             class_names=class_names, anchors=anchors,
             input_hw=cfg.input_size, bf16=cfg.bf16, use_ema=cfg.use_ema,
             score_threshold=0.0,  # reference sets score=0 for MAP, main.py:172
+            **_int8_kw(cfg),
         )
         ds = Dataset(
             cfg.test_dataset, batch_size=max(cfg.batch_size, 1), anchors=anchors,
@@ -233,6 +240,42 @@ def main(argv=None) -> int:
         print(f"unknown mode {args.mode!r}", file=sys.stderr)
         return 2
     return 0
+
+
+def _int8_kw(cfg) -> dict:
+    """Predictor kwargs for --int8: W8A8 backbone calibrated on up to
+    ``quantize_samples`` letterboxed images from the test/train lists
+    (uniform noise when no list is configured)."""
+    if not cfg.int8:
+        return {}
+    calib = None
+    source = cfg.test_dataset or cfg.train_dataset
+    if source:
+        import glob as _glob
+
+        import numpy as np
+        from PIL import Image
+
+        from yoloret_tpu.data.annotations import parse_annotation_line
+        from yoloret_tpu.ops.letterbox import letterbox_numpy_u8
+
+        imgs = []
+        for path in sorted(_glob.glob(source)):
+            with open(path) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    img_path, _ = parse_annotation_line(line)
+                    arr = np.asarray(
+                        Image.open(img_path).convert("RGB"), np.uint8)
+                    imgs.append(letterbox_numpy_u8(arr, cfg.input_size))
+                    if len(imgs) >= cfg.quantize_samples:
+                        break
+            if len(imgs) >= cfg.quantize_samples:
+                break
+        if imgs:
+            calib = np.stack(imgs)
+    return dict(use_int8=True, calibration_images=calib)
 
 
 def _demo_image() -> str:

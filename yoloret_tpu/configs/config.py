@@ -130,6 +130,9 @@ class RunConfig:
     multihost: bool = False  # call jax.distributed.initialize() (DCN multi-
     # host; coordinator from env: JAX_COORDINATOR_ADDRESS etc.)
     quantize: bool = False
+    int8: bool = False  # serve IMAGE/VIDEO/MAP through the on-TPU W8A8
+    # backbone (nn/int8_infer.py); calibration images come from the
+    # test/train annotation lists when set
     quantize_samples: int = 32  # calibration images for full-int8 TFLite
     # (drawn from test/train annotation lists when set, synthetic noise
     # otherwise)

@@ -9,6 +9,10 @@ padded up to a small ladder of batch buckets (default 1/8/32/256) so
 arbitrary request sizes reuse at most ``len(batch_buckets)`` compiled
 programs — on this backend a fresh XLA compile costs minutes, so an
 unpadded batch dim would be a serving hazard.
+
+``use_int8=True`` swaps the backbone onto the W8A8 path
+(nn/int8_infer.py): int8 tensors between backbone convs, calibrated on
+``calibration_images`` (measured -0.0083 mAP on the int8-study recipe).
 """
 
 from __future__ import annotations
@@ -58,6 +62,11 @@ class Predictor:
         # at serving thresholds with a measured -0.013 worst-case mAP
         # cost at threshold 0 (tools/topk_study.py)
         batch_buckets: Sequence[int] = (1, 8, 32, 256),
+        use_int8: bool = False,  # W8A8 backbone (nn/int8_infer.py);
+        # measured -0.0083 mAP on the int8-study recipe
+        calibration_images: Optional[np.ndarray] = None,  # [N,H,W,3]
+        # uint8/float letterbox-sized images for int8 calibration;
+        # uniform noise when absent (pass real images in production)
     ):
         if class_names is None:
             assert classes_path, "need class_names or classes_path"
@@ -102,13 +111,31 @@ class Predictor:
         self.zoom_ensemble = zoom_ensemble
         zh, zw = zoom_hw
 
+        self._qp = None
+        if use_int8:
+            from yoloret_tpu.nn.int8_infer import quantize_from_data
+
+            if calibration_images is None:
+                calibration_images = np.random.RandomState(0).randint(
+                    0, 256, (16, *self.input_hw, 3), np.uint8)
+            calib = np.asarray(calibration_images, np.float32)
+            if calib.max() > 1.5:
+                calib = calib / 255.0
+            self._qp = quantize_from_data(self.model, self.variables, calib)
+
         @jax.jit
         def _infer(variables, images, image_hw):
             # Trace-time side effect: runs once per compiled batch shape.
             self.traced_batch_sizes.append(int(images.shape[0]))
             # images arrive uint8 (4x smaller transfer); normalize on device
             images = images.astype(jnp.float32) * (1.0 / 255.0)
-            outs = self.model.apply(variables, images, False)
+            if self._qp is not None:
+                from yoloret_tpu.nn.int8_infer import int8_detector_apply
+
+                outs = int8_detector_apply(
+                    self.model, variables, self._qp, images)
+            else:
+                outs = self.model.apply(variables, images, False)
             zoom_outs = None
             if zoom_ensemble:
                 # Second pass over the CENTER CROP of the network input
@@ -117,7 +144,13 @@ class Predictor:
                 h, w = images.shape[1], images.shape[2]
                 y0, x0 = (h - zh) // 2, (w - zw) // 2
                 crop = images[:, y0 : y0 + zh, x0 : x0 + zw, :]
-                zoom_outs = self.model.apply(variables, crop, False)
+                if self._qp is not None:
+                    from yoloret_tpu.nn.int8_infer import int8_detector_apply
+
+                    zoom_outs = int8_detector_apply(
+                        self.model, variables, self._qp, crop)
+                else:
+                    zoom_outs = self.model.apply(variables, crop, False)
             return detect_batch(
                 outs,
                 anchors_j,
