@@ -5,11 +5,23 @@ crowded 4-class synthetic (fixed seed, fixed epochs), so perf work on
 the model/postprocess/data paths cannot silently trade accuracy — the
 reference's only QA was eyeballing ``--mode=MAP`` (yolo.py:397-405).
 
-The expected band was calibrated on this container's CPU backend (see
-STATUS.md): identical seeds reproduce identical streams (the pipeline
-is deterministic, tests/test_pipeline_determinism.py), so drift outside
-the band means a code change altered the math, not noise.
+The recipe runs IN A SUBPROCESS with a pinned single-CPU-device
+environment, NOT in the test process: the suite's
+``--xla_force_host_platform_device_count=8`` flag changes XLA CPU
+reduction tiling, which perturbs the train-step numerics by ~6e-4 at
+epoch 0 and — through 60 epochs of partial convergence — chaotically
+moves the final mAP (0.3138 one-device vs 0.1445 eight-device, measured
+round 3 on the SAME tree and bitwise-identical input batches). The host
+data pipeline is deterministic under both topologies
+(tests/test_pipeline_determinism.py); only the device topology had to
+be pinned to make the run reproducible. See
+yoloret_tpu/tools/accuracy_gate.py for the measurement details.
 """
+
+import json
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -17,46 +29,33 @@ import pytest
 
 @pytest.mark.slow
 def test_crowded_synthetic_map_band(tmp_path):
-    from yoloret_tpu.data import Dataset, DatasetMode, load_anchors
-    from yoloret_tpu.eval import evaluate_map
-    from yoloret_tpu.infer import Predictor
-    from yoloret_tpu.tools.topk_study import (
-        CLASS_NAMES,
-        build_crowded,
-        crowded_train_cfg,
+    env = dict(os.environ)
+    # Pin the numerics: no axon plugin, single XLA CPU device (the
+    # calibration topology). Everything else inherits.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    proc = subprocess.run(
+        [sys.executable, "-m", "yoloret_tpu.tools.accuracy_gate",
+         "--workdir", str(tmp_path)],
+        env=env, capture_output=True, text=True, timeout=5400,
     )
-    from yoloret_tpu.train.trainer import train
-
-    size, batch, epochs = 160, 8, 60
-    ann, classes, anchors_path = build_crowded(str(tmp_path))
-    cfg = crowded_train_cfg(
-        str(tmp_path), ann, classes, anchors_path,
-        epochs=epochs, size=size, batch=batch,
-    )
-    weights = train(cfg)
-
-    anchors = load_anchors(anchors_path)
-    pred = Predictor(
-        backbone="mobilenetv2x75", weights=weights,
-        class_names=CLASS_NAMES, anchors=anchors,
-        input_hw=(size, size), score_threshold=0.0, bf16=False,
-    )
-    ds = Dataset(
-        ann, batch_size=batch, anchors=anchors,
-        num_classes=len(CLASS_NAMES), input_hw=(size, size),
-        mode=DatasetMode.TEST, max_boxes=12,
-    )
-    mAP, aps = evaluate_map(
-        pred.model, pred.variables, ds, anchors, CLASS_NAMES, verbose=False
-    )
-    print(f"crowded-synthetic mAP @60 epochs: {mAP:.4f} "
-          f"(per-class {[round(a, 3) for a in aps.values()]})")
+    sys.stdout.write(proc.stdout[-4000:])
+    sys.stderr.write(proc.stderr[-4000:])
+    assert proc.returncode == 0, "gate subprocess failed"
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("GATE_RESULT ")]
+    assert lines, "gate subprocess printed no GATE_RESULT line"
+    result = json.loads(lines[-1][len("GATE_RESULT "):])
+    mAP = result["mAP"]
+    print(f"crowded-synthetic mAP @{result['epochs']} epochs: {mAP:.4f} "
+          f"(per-class {result['aps']})")
     # Band calibrated in round 3: this exact recipe (seed 0, 60 epochs,
-    # mild augment) measured mAP 0.3138 on the CPU backend — partial
+    # mild augment) measured mAP 0.3138 on one CPU device — partial
     # convergence BY DESIGN (a fully-overfit model is insensitive to
-    # pipeline regressions). The pipeline is deterministic per backend,
-    # so the generous +/- band only absorbs jax/XLA version drift.
-    # Below the floor = a silent accuracy regression; above the ceiling
-    # = the recipe changed (recalibrate, don't widen).
+    # pipeline regressions). With the topology pinned the run is
+    # bitwise reproducible, so the generous +/- band only absorbs
+    # jax/XLA version drift. Below the floor = a silent accuracy
+    # regression; above the ceiling = the recipe changed (recalibrate,
+    # don't widen).
     assert 0.22 <= mAP <= 0.45, f"mAP {mAP:.4f} left the calibrated band"
-    assert all(np.isfinite(list(aps.values())))
+    assert all(np.isfinite(list(result["aps"].values())))
