@@ -43,6 +43,45 @@ def test_train_pipeline_deterministic_given_seed(tiny):
     assert not np.array_equal(np.asarray(a["images"]), np.asarray(c["images"]))
 
 
+def test_pipeline_identical_across_device_topologies(tiny):
+    """The finalized batch stream is bitwise identical on 1 vs 8 virtual
+    CPU devices. The TRAIN STEP is NOT (XLA-CPU reduction tiling differs
+    ~6e-4 at epoch 0 — the round-3 accuracy-gate incident, see
+    tools/accuracy_gate.py), which is exactly why the pipeline guarantee
+    matters: it pins stream bugs apart from numeric-topology drift."""
+    import subprocess
+    import sys
+    import os
+
+    script = (
+        "import hashlib, numpy as np\n"
+        "from yoloret_tpu.data import Dataset\n"
+        "anchors = np.array([[10,13],[16,30],[33,23],[30,61],[62,45],"
+        "[59,119],[116,90],[156,198],[373,326]], np.float32)\n"
+        f"ds = Dataset({tiny!r}, batch_size=2, anchors=anchors,"
+        " num_classes=2, input_hw=(64, 64), seed=3, num_workers=2)\n"
+        "h = hashlib.md5()\n"
+        "for i, b in enumerate(ds.build(epochs=1)):\n"
+        "    for k in sorted(b):\n"
+        "        h.update(np.asarray(b[k]).tobytes())\n"
+        "print('HASH', h.hexdigest())\n"
+    )
+
+    def run(xla_flags):
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = xla_flags
+        out = subprocess.run([sys.executable, "-c", script], env=env,
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [l for l in out.stdout.splitlines() if l.startswith("HASH")]
+
+    one = run("")
+    eight = run("--xla_force_host_platform_device_count=8")
+    assert one and one == eight
+
+
 def test_predictor_zoom_ensemble_runs(rng):
     from yoloret_tpu.infer import Predictor
 
