@@ -149,3 +149,35 @@ def test_explicit_flag_equal_to_default_beats_yaml(tmp_path):
     assert cfg.freeze is False  # yaml survives where no flag given
     cfg2 = args_to_config(build_parser().parse_args([f"--config={y}", "--freeze"]))
     assert cfg2.freeze is True  # explicit --freeze beats yaml false
+
+
+def test_int8_calibration_sources(tmp_path, rng):
+    """_int8_kw pulls calibration pixels from text annotation lists AND
+    TFRecord shards (and falls back to None with no dataset)."""
+    import io
+
+    from PIL import Image
+
+    from yoloret_tpu.cli.main import _int8_kw
+    from yoloret_tpu.data.tfrecord import Example, TFRecordWriter
+
+    img = (rng.rand(50, 70, 3) * 255).astype(np.uint8)
+    jp = tmp_path / "a.jpg"
+    Image.fromarray(img).save(jp)
+    ann = tmp_path / "list.txt"
+    ann.write_text(f"{jp} 1,2,30,40,0\n")
+
+    rp = tmp_path / "train_0.tfrecord"
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    with TFRecordWriter(str(rp)) as w:
+        w.write(Example({"image/encoded": buf.getvalue()}).serialize())
+
+    base = RunConfig(int8=True, input_size=(64, 64), quantize_samples=4)
+    for src in (str(ann), str(rp)):
+        kw = _int8_kw(base.replace(test_dataset=src))
+        assert kw["use_int8"]
+        assert kw["calibration_images"].shape == (1, 64, 64, 3)
+    kw = _int8_kw(base)
+    assert kw["use_int8"] and kw["calibration_images"] is None
+    assert _int8_kw(RunConfig()) == {}

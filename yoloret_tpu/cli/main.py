@@ -261,6 +261,28 @@ def _int8_kw(cfg) -> dict:
 
         imgs = []
         for path in sorted(_glob.glob(source)):
+            if path.endswith(".tfrecord"):
+                # TFRecord shards: pull encoded bytes straight from the
+                # record stream instead of parsing text lines
+                import io
+
+                from yoloret_tpu.data.tfrecord import (
+                    Example,
+                    index_tfrecord,
+                    read_record_at,
+                )
+
+                for off, ln in index_tfrecord(path):
+                    ex = Example.parse(read_record_at(path, off, ln))
+                    raw = ex.features["image/encoded"]
+                    arr = np.asarray(
+                        Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+                    imgs.append(letterbox_numpy_u8(arr, cfg.input_size))
+                    if len(imgs) >= cfg.quantize_samples:
+                        break
+                if len(imgs) >= cfg.quantize_samples:
+                    break
+                continue
             with open(path) as fh:
                 for line in fh:
                     if not line.strip():
