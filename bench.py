@@ -149,15 +149,18 @@ def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
     )
 
 
-def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int = 3):
-    """Training-step throughput (not the driver metric; run with --train)."""
+def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int = 3,
+               remat: bool = False):
+    """Training-step throughput (not the driver metric; run with --train;
+    ``--remat`` benches the activation-rematerialized step)."""
     import optax
 
     from yoloret_tpu.ops import assign_targets_batch, true_corner_boxes
     from yoloret_tpu.train import StepConfig, TrainState, train_step
     from functools import partial
 
-    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+    model = build_detector("mobilenetv2x75", num_classes=20,
+                           dtype=jnp.bfloat16, remat=remat)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
     )
@@ -211,6 +214,7 @@ def main_train(batch: int = 128, size: int = 320, iters: int = 20, warmup: int =
         "pct_compute_peak": round(100.0 * flops * ips / peak_flops, 1),
         "pct_bw_peak": round(100.0 * bytes_ * ips / peak_bw, 1),
         "compile_s": round(compile_s, 1),
+        "remat": remat,
     }))
 
 
@@ -219,6 +223,8 @@ if __name__ == "__main__":
     if "--batch" in sys.argv:
         kw["batch"] = int(sys.argv[sys.argv.index("--batch") + 1])
     if "--train" in sys.argv:
+        if "--remat" in sys.argv:
+            kw["remat"] = True
         main_train(**kw)
     else:
         if "--inner" in sys.argv:

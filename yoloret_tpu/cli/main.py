@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class_loss", type=str, choices=["bce", "focal"])
     p.add_argument("--use_adv", action="store_true")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone activations in the "
+                        "backward pass (memory for ~30%% backbone FLOPs)")
     p.add_argument("--resume", action="store_true",
                    help="restore the latest periodic checkpoint (with optimizer state) and continue")
     p.add_argument("--early_stopping", action="store_true",
@@ -124,7 +127,7 @@ def args_to_config(args) -> RunConfig:
         "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "
         "bf16 mesh_data export image video output quantize prune freeze "
-        "train_unfreeze track_interval int8"
+        "train_unfreeze track_interval int8 remat"
     ).split():
         if hasattr(args, f):
             overrides[f] = getattr(args, f)

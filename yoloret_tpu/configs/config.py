@@ -100,6 +100,12 @@ class RunConfig:
     ignore_thresh: float = 0.5
     use_adv: bool = False
     use_ema: bool = False
+    remat: bool = False  # jax.checkpoint the backbone in the train
+    # step: backward recomputes the backbone forward instead of keeping
+    # its activations resident — O(taps) not O(depth) activation memory,
+    # for ~+30% backbone forward FLOPs. Lets the batch grow past the
+    # HBM activation budget (gradients equal the stock path bitwise-
+    # modulo-reassociation, tests/test_remat.py).
     checkpoint_every: int = 3  # epochs (reference train.py:74-79)
     early_stopping: bool = False  # stop the stage when val_loss has not
     # improved for `early_stopping_patience` epochs (reference

@@ -141,6 +141,7 @@ def train(cfg: RunConfig) -> str:
     model = build_detector(
         cfg.backbone, num_classes=num_classes,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
+        remat=cfg.remat,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     variables = model.init(
