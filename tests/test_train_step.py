@@ -158,3 +158,40 @@ def test_dp_sharded_step_matches_single_device():
     l2 = jax.tree.leaves(s2.params["neck"])
     worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) for a, b in zip(l1, l2))
     assert worst < 5e-3, worst
+
+
+def test_spatial_sharded_train_step_matches_single_device():
+    """dp x sp TRAINING: batch over ``data`` AND image height over
+    ``model`` (GSPMD inserts the conv halo exchanges in forward AND
+    backward). Beyond the reference, which is DP-only (SURVEY 2.3);
+    the dryrun covers the sp forward, this covers the sp train step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from yoloret_tpu.parallel import spatial_sharding
+
+    cfg = StepConfig(anchors=ANCHORS)
+    batch = _batch(batch=4, seed=3)
+
+    s1 = _state()
+    single = jax.jit(partial(train_step, cfg=cfg))
+    s1, m1 = single(s1, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(jax.devices()[:8], data=4, model=2)
+    data, repl = batch_sharding(mesh), replicate(mesh)
+    sp = spatial_sharding(mesh)
+    shardings = {k: (sp if k == "images" else data) for k in batch}
+    s2 = _state()
+    s2 = jax.tree.map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, s2)
+    sharded = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    step = jax.jit(partial(train_step, cfg=cfg),
+                   in_shardings=(repl, shardings, repl),
+                   out_shardings=(repl, repl))
+    s2, m2 = step(s2, sharded, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    l1 = jax.tree.leaves(s1.params["neck"])
+    l2 = jax.tree.leaves(s2.params["neck"])
+    worst = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+                for a, b in zip(l1, l2))
+    assert worst < 5e-3, worst
