@@ -8,9 +8,10 @@ equivalent is **StableHLO** via ``jax.export`` — the same IR TFLite /
 TF-Serving converters consume — plus an Orbax weights directory.
 
 ``export_model`` always writes the StableHLO bundle; when TensorFlow is
-importable (not in this image) the tflite/serving/tfjs flavors convert
-via ``jax2tf``, otherwise they degrade to the StableHLO bundle with a
-clear message.
+importable (TF 2.21 is in this image) the tflite/serving/tfjs flavors
+convert via ``jax2tf`` — plus a from-scratch tfjs graph-model writer
+(export/tfjs.py) since the ``tensorflowjs`` pip is absent — otherwise
+they degrade to the StableHLO bundle with a clear message.
 """
 
 from __future__ import annotations
@@ -308,10 +309,24 @@ def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
         if cfg.quantize:
             _export_tflite_int8(cfg, out_dir, batch)
     elif flavor == "tfjs":
-        print(
-            f"SavedModel -> {saved_dir}; finish with: tensorflowjs_converter "
-            f"--input_format=tf_saved_model {saved_dir} {out_dir}/tfjs_model"
-        )
+        from yoloret_tpu.export.tfjs import export_tfjs_graph_model
+
+        try:
+            tfjs_dir = export_tfjs_graph_model(
+                cfg, os.path.join(out_dir, "tfjs_model"), batch=batch
+            )
+            print(
+                f"TF.js graph model (conv stack, raw heads) -> {tfjs_dir}; "
+                f"full-pipeline SavedModel staged at {saved_dir} for "
+                f"tensorflowjs_converter if the NMS tail is wanted in JS"
+            )
+        except ValueError as e:  # backbone outside the mirrored families
+            print(
+                f"native tfjs converter: {e}; SavedModel staged at "
+                f"{saved_dir} — finish with: tensorflowjs_converter "
+                f"--input_format=tf_saved_model {saved_dir} "
+                f"{out_dir}/tfjs_model"
+            )
     else:
         print(f"TF-Serving SavedModel -> {saved_dir}")
     return out_dir
