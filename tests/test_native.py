@@ -84,3 +84,40 @@ def test_grayscale_jpeg_broadcasts(tmp_path, rng):
     out, _ = native.decode_resize(p, 32)
     np.testing.assert_allclose(out[..., 0], out[..., 1])
     np.testing.assert_allclose(out[..., 1], out[..., 2])
+
+
+def test_decode_resize_q_matches_pil_reencode(tmp_path, rng):
+    """The fused quality path == libjpeg re-encode of the SAME staging
+    square (PIL uses libjpeg too, so this is bitwise)."""
+    from PIL import Image
+
+    arr = (rng.rand(240, 360, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "q.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    out, (h, w) = native.decode_resize_q_u8(p, 160, 80)
+    assert (h, w) == (240, 360) and out.dtype == np.uint8
+    base, _ = native.decode_resize_u8(p, 160)
+    buf = io.BytesIO()
+    Image.fromarray(base).save(buf, format="JPEG", quality=80)
+    ref = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+    # bytes variant identical to the file variant
+    out2, hw2 = native.decode_resize_q_bytes_u8(open(p, "rb").read(), 160, 80)
+    assert hw2 == (240, 360)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_decode_resize_q_zero_is_passthrough(tmp_path, rng):
+    from PIL import Image
+
+    arr = (rng.rand(96, 64, 3) * 255).astype(np.uint8)
+    p = str(tmp_path / "q0.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    base, _ = native.decode_resize_u8(p, 64)
+    out, _ = native.decode_resize_q_u8(p, 64, 0)
+    np.testing.assert_array_equal(out, base)
+
+
+def test_decode_resize_q_corrupt_raises():
+    with pytest.raises(IOError):
+        native.decode_resize_q_bytes_u8(b"not a jpeg", 32, 80)

@@ -43,20 +43,21 @@ class DatasetMode(enum.Enum):
 
 
 def _decode_image(path: str, staging: int, quality: Optional[int], rng=None):
-    """JPEG decode -> optional re-encode at ``quality`` (the random-JPEG-
-    quality augmentation, code/yolo3/utils.py:225-227; the draw happens
-    in the producer thread) -> stretch to staging square.
+    """JPEG decode -> stretch to staging square -> optional re-encode at
+    ``quality`` (the random-JPEG-quality augmentation; the reference runs
+    it AFTER the resize, at network scale — code/yolo3/utils.py:225-227 —
+    so the whole chain is bounded by the staging size, not the source
+    photo size. The draw happens in the producer thread.)
 
     Returns UINT8 [S, S, 3] (normalization happens on device: feeding
     uint8 quarters the host->device transfer). Uses the native libjpeg
-    loader (yoloret_tpu/native) when built; PIL fallback."""
+    loader (yoloret_tpu/native) when built — decode, resize, and the
+    quality re-encode all fused in one C++ call; PIL fallback."""
     from yoloret_tpu import native
 
-    use_native = native.available()
-    if use_native and quality is None and path.lower().endswith((".jpg", ".jpeg")):
+    if native.available() and path.lower().endswith((".jpg", ".jpeg")):
         try:
-            img, (ih, iw) = native.decode_resize_u8(path, staging)
-            return img, (ih, iw)
+            return native.decode_resize_q_u8(path, staging, quality or 0)
         except IOError:
             pass  # fall through to PIL (e.g. mislabeled PNG)
 
@@ -65,18 +66,12 @@ def _decode_image(path: str, staging: int, quality: Optional[int], rng=None):
 
     img = Image.open(path).convert("RGB")
     iw, ih = img.size
+    img = img.resize((staging, staging), Image.BILINEAR)
     if quality is not None:
         buf = io.BytesIO()
         img.save(buf, format="JPEG", quality=int(quality))
-        if use_native:
-            try:
-                out, _ = native.decode_resize_bytes_u8(buf.getvalue(), staging)
-                return out, (ih, iw)
-            except IOError:
-                pass
         buf.seek(0)
         img = Image.open(buf).convert("RGB")
-    img = img.resize((staging, staging), Image.BILINEAR)
     return np.asarray(img, np.uint8), (ih, iw)
 
 
@@ -204,29 +199,38 @@ class Dataset:
         else:
             # TFRecord sample: Example with encoded bytes + normalized boxes
             # (schema of code/voc_annotation.py:31-60 / map.py:35-47).
-            import io
-
-            from PIL import Image
-
+            from yoloret_tpu import native
             from yoloret_tpu.data.tfrecord import Example, read_record_at
 
             shard, off, ln = self._records[idx - len(self._parsed)]
             ex = Example.parse(read_record_at(shard, off, ln))
             f = ex.features
             raw = f["image/encoded"]
-            pil = Image.open(io.BytesIO(raw)).convert("RGB")
-            iw, ih = pil.size
-            if jq_value is not None:
-                # same random-JPEG-quality augmentation the file-path
-                # branch gets (code/yolo3/utils.py:225-227) — TFRecord
-                # sources were skipping it before round 3
-                buf = io.BytesIO()
-                pil.save(buf, format="JPEG", quality=int(jq_value))
-                buf.seek(0)
-                pil = Image.open(buf).convert("RGB")
-            img = np.asarray(
-                pil.resize((self.staging, self.staging), Image.BILINEAR), np.uint8
-            )
+            img = None
+            if native.available():
+                try:
+                    # native fused decode + resize (+ the same random-
+                    # JPEG-quality augmentation the file-path branch
+                    # gets, code/yolo3/utils.py:225-227)
+                    img, (ih, iw) = native.decode_resize_q_bytes_u8(
+                        raw, self.staging, jq_value or 0
+                    )
+                except IOError:
+                    pass  # e.g. PNG payload: PIL fallback below
+            if img is None:
+                import io
+
+                from PIL import Image
+
+                pil = Image.open(io.BytesIO(raw)).convert("RGB")
+                iw, ih = pil.size
+                pil = pil.resize((self.staging, self.staging), Image.BILINEAR)
+                if jq_value is not None:
+                    buf = io.BytesIO()
+                    pil.save(buf, format="JPEG", quality=int(jq_value))
+                    buf.seek(0)
+                    pil = Image.open(buf).convert("RGB")
+                img = np.asarray(pil, np.uint8)
             xmin = np.asarray(f.get("image/object/bbox/xmin", []), np.float32)
             ymin = np.asarray(f.get("image/object/bbox/ymin", []), np.float32)
             xmax = np.asarray(f.get("image/object/bbox/xmax", []), np.float32)

@@ -87,6 +87,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.yt_decode_resize_q_file_u8.restype = ctypes.c_int
+        lib.yt_decode_resize_q_file_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.yt_decode_resize_q_mem_u8.restype = ctypes.c_int
+        lib.yt_decode_resize_q_mem_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         lib.yt_decode_resize_batch.restype = ctypes.c_int
         lib.yt_decode_resize_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -144,6 +156,49 @@ def decode_resize_u8(path: str, staging: int) -> Tuple[np.ndarray, Tuple[int, in
     )
     if rc != 0:
         raise IOError(f"native JPEG decode failed ({rc}) for {path!r}")
+    return out, (h.value, w.value)
+
+
+def decode_resize_q_u8(
+    path: str, staging: int, quality: int
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """JPEG file -> resize to staging -> re-encode at ``quality`` ->
+    decode: the random-JPEG-quality augmentation fused into the native
+    loader, applied at staging scale like the reference
+    (code/yolo3/utils.py:228-231 runs it after the resize)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    out = np.empty((staging, staging, 3), np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.yt_decode_resize_q_file_u8(
+        path.encode(), staging, int(quality),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise IOError(f"native JPEG decode failed ({rc}) for {path!r}")
+    return out, (h.value, w.value)
+
+
+def decode_resize_q_bytes_u8(
+    data: bytes, staging: int, quality: int
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """In-memory JPEG bytes variant of :func:`decode_resize_q_u8`."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    out = np.empty((staging, staging, 3), np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.yt_decode_resize_q_mem_u8(
+        data, len(data), staging, int(quality),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise IOError(f"native JPEG decode failed ({rc})")
     return out, (h.value, w.value)
 
 

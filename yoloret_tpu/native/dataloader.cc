@@ -179,6 +179,98 @@ int yt_decode_resize_mem_u8(const uint8_t* data, uint64_t len, int staging,
   return 0;
 }
 
+// Random-JPEG-quality augmentation fused into the loader. The reference
+// applies tf.image.random_jpeg_quality AFTER the resize, at network
+// scale (reference: code/yolo3/utils.py:228-231) — so: scaled decode +
+// resize to the staging square, re-encode that square in memory at
+// `quality`, decode it back. All three codec passes run at <= staging
+// resolution, so the cost is bounded by the staging size instead of the
+// source photo size (the previous PIL path re-encoded the full-res
+// original: 3x slower on real photos and at the wrong scale).
+int yt_decode_resize_q_mem_u8(const uint8_t* data, uint64_t len, int staging,
+                              int quality, uint8_t* out, int* orig_h,
+                              int* orig_w) {
+  int rc = yt_decode_resize_mem_u8(data, len, staging, out, orig_h, orig_w);
+  if (rc != 0 || quality <= 0) return rc;
+
+  // Re-encode the staging square at `quality` (libjpeg defaults: 4:2:0,
+  // baseline — the same settings PIL's JPEG save uses).
+  jpeg_compress_struct c;
+  JpegErr cerr_;
+  c.err = jpeg_std_error(&cerr_.mgr);
+  cerr_.mgr.error_exit = jpeg_err_exit;
+  unsigned char* buf = nullptr;
+  unsigned long buflen = 0;
+  if (setjmp(cerr_.jb)) {
+    jpeg_destroy_compress(&c);
+    if (buf) free(buf);
+    return 5;
+  }
+  jpeg_create_compress(&c);
+  jpeg_mem_dest(&c, &buf, &buflen);
+  c.image_width = (JDIMENSION)staging;
+  c.image_height = (JDIMENSION)staging;
+  c.input_components = 3;
+  c.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&c);
+  jpeg_set_quality(&c, quality, TRUE);
+  jpeg_start_compress(&c, TRUE);
+  while (c.next_scanline < c.image_height) {
+    JSAMPROW row = (JSAMPROW)(out + (size_t)c.next_scanline * staging * 3);
+    jpeg_write_scanlines(&c, &row, 1);
+  }
+  jpeg_finish_compress(&c);
+  jpeg_destroy_compress(&c);
+
+  // Decode the artifacts back; dimensions match staging by construction
+  // so this is a straight scanline copy (no resize pass).
+  jpeg_decompress_struct d;
+  JpegErr derr;
+  d.err = jpeg_std_error(&derr.mgr);
+  derr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(derr.jb)) {
+    jpeg_destroy_decompress(&d);
+    free(buf);
+    return 6;
+  }
+  jpeg_create_decompress(&d);
+  jpeg_mem_src(&d, buf, buflen);
+  jpeg_read_header(&d, TRUE);
+  d.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&d);
+  if ((int)d.output_width != staging || (int)d.output_height != staging ||
+      d.output_components != 3) {
+    jpeg_destroy_decompress(&d);
+    free(buf);
+    return 7;
+  }
+  while (d.output_scanline < d.output_height) {
+    uint8_t* row = out + (size_t)d.output_scanline * staging * 3;
+    jpeg_read_scanlines(&d, &row, 1);
+  }
+  jpeg_finish_decompress(&d);
+  jpeg_destroy_decompress(&d);
+  free(buf);
+  return 0;
+}
+
+int yt_decode_resize_q_file_u8(const char* path, int staging, int quality,
+                               uint8_t* out, int* orig_h, int* orig_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 3;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)n);
+  if (fread(buf.data(), 1, (size_t)n, f) != (size_t)n) {
+    fclose(f);
+    return 4;
+  }
+  fclose(f);
+  return yt_decode_resize_q_mem_u8(buf.data(), (uint64_t)n, staging, quality,
+                                   out, orig_h, orig_w);
+}
+
 int yt_decode_resize_file_u8(const char* path, int staging, uint8_t* out,
                              int* orig_h, int* orig_w) {
   FILE* f = fopen(path, "rb");
