@@ -5,10 +5,14 @@ The reference wraps a batch-1 Keras model that takes raw encoded bytes
 and letterboxes in-graph (yolo.py:105-112). Here the host letterboxes
 (cheap, PIL/numpy) and ONE jitted XLA program runs backbone -> RFCR ->
 heads -> decode -> class-aware NMS for a whole batch. Requests are
-padded up to a small ladder of batch buckets (default 1/8/32/256) so
+padded up to a small ladder of batch buckets (default 1/8/32/128) so
 arbitrary request sizes reuse at most ``len(batch_buckets)`` compiled
 programs — on this backend a fresh XLA compile costs minutes, so an
-unpadded batch dim would be a serving hazard.
+unpadded batch dim would be a serving hazard. The top bucket is 128,
+not 256: measured chip-side latency is 8.2 ms at b128 vs 17.9 ms at
+b256 (STATUS.md), so two 128-chunks beat one padded 256 for every
+request size above 32 — XLA emits a worse program at b256 (bytes/img
+45.6 -> 61+ MB, docs/design.md).
 
 ``use_int8=True`` swaps the backbone onto the W8A8 path
 (nn/int8_infer.py): int8 tensors between backbone convs, calibrated on
@@ -61,7 +65,7 @@ class Predictor:
         num_candidates: int = 256,  # shared-pool depth; 64 is ~16% faster
         # at serving thresholds with a measured -0.013 worst-case mAP
         # cost at threshold 0 (tools/topk_study.py)
-        batch_buckets: Sequence[int] = (1, 8, 32, 256),
+        batch_buckets: Sequence[int] = (1, 8, 32, 128),
         use_int8: bool = False,  # W8A8 backbone (nn/int8_infer.py);
         # measured -0.0083 mAP on the int8-study recipe
         calibration_images: Optional[np.ndarray] = None,  # [N,H,W,3]
