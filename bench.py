@@ -2,10 +2,16 @@
 
 Measures steady-state inference throughput of the flagship config
 (YOLO-ReT MobileNetV2x0.75 @ 320x320, bf16 compute, on-device decode +
-class-aware NMS fused into the same jitted program) and prints ONE JSON
-line. Baseline: 1e4 images/sec on a v5e-8 at 320x320 (BASELINE.md) ->
-1250 images/sec/chip; vs_baseline is measured per-chip throughput over
-that.
+class-aware NMS) and prints ONE JSON line. Baseline: 1e4 images/sec on
+a v5e-8 at 320x320 (BASELINE.md) -> 1250 images/sec/chip; vs_baseline
+is measured per-chip throughput over that.
+
+Serving runs the fully-fused program with ``inner`` chained in-program
+repeats (default 8: amortizes the tunnel's ~1-2 ms per-execution
+dispatch floor, which a production host overlaps — the chip-true
+number). MAP-grade runs the two-program split (model+candidates /
+suppression; dodges the XLA-TPU compile cliff, tools/compile_split.py)
+with one dispatch pair per iteration — conservative.
 """
 
 from __future__ import annotations
@@ -38,7 +44,7 @@ BASELINE_PER_CHIP = 1250.0  # images/sec/chip (1e4 on v5e-8)
 
 
 def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
-         inner: int = 1):
+         inner: int = 8):
     # batch 128 + uint8 input: the measured round-3 sweet spot
     # (tools/bench_batch.py: 15.6k img/s vs 13.2k at b256/f32) AND
     # production parity — the Predictor and the data pipeline transfer
@@ -112,7 +118,7 @@ def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
         compile_s = time.perf_counter() - t_c
         # compile-time creep watch (VERDICT r2 weak #6): machine-readable
         # per-config compile+warmup seconds on stderr
-        print(json.dumps({"compile_config": name,
+        print(json.dumps({"compile_config": name, "inner": inner,
                           "compile_warmup_s": round(compile_s, 1)}),
               file=sys.stderr)
         t0 = time.perf_counter()
@@ -122,10 +128,50 @@ def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
         dt = time.perf_counter() - t0
         return batch * iters * inner / dt / n_chips
 
+    def run_config_split(name, thresh, pool_depth):
+        # Two-program MAP-grade path (eval/map.py does the same): the
+        # FUSED b128/M512 program hits the XLA-TPU backend-pass compile
+        # cliff (330-920 s server-side); jitting (model+candidates) and
+        # (suppression) separately compiles in seconds and measured
+        # FASTER end to end (tools/compile_split.py). Chained: stage A's
+        # input carries a scalar derived from stage B's previous output.
+        from yoloret_tpu.ops import shared_pool_candidates, shared_pool_suppress
+
+        @jax.jit
+        def stage_a(variables, images, fb):
+            images = images + fb.astype(images.dtype)
+            x = images.astype(jnp.float32) * (1.0 / 255.0)
+            outs = model.apply(variables, x, False)
+            return shared_pool_candidates(
+                outs, anchors, 20, image_hw, num_candidates=pool_depth)
+
+        @jax.jit
+        def stage_b(boxes, scores):
+            res = shared_pool_suppress(boxes, scores, score_threshold=thresh)
+            return (1e-12 * jnp.mean(res.scores)).astype(jnp.float32)
+
+        images = jnp.asarray(
+            rng.randint(0, 256, (batch, size, size, 3), np.uint8))
+        fb = jnp.zeros((), jnp.float32)
+        t_c = time.perf_counter()
+        for _ in range(warmup):
+            fb = stage_b(*stage_a(variables, images, fb))
+        float(np.asarray(fb))
+        print(json.dumps({"compile_config": name, "split": True,
+                          "compile_warmup_s":
+                              round(time.perf_counter() - t_c, 1)}),
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fb = stage_b(*stage_a(variables, images, fb))
+        float(np.asarray(fb))
+        dt = time.perf_counter() - t0
+        return batch * iters / dt / n_chips
+
     # MAP-grade config first (threshold 0, 512-deep shared pool — the
     # mAP evaluator's measured-lossless default, tools/topk_study.py);
     # reported to stderr per the one-JSON-line contract.
-    map_ips = run_config("map_grade", 0.0, 512)
+    map_ips = run_config_split("map_grade", 0.0, 512)
     print(
         json.dumps({
             "metric": "inference_images_per_sec_per_chip_320_map_grade",

@@ -88,3 +88,35 @@ def test_compute_range_coco_style():
     m_50 = np.mean(list(ev.compute().values()))
     assert m_50 == pytest.approx(1.0)
     assert 0.0 < m_range < m_50  # high-IoU thresholds drop the match
+
+
+def test_infer_detect_split_path_matches_fused(monkeypatch):
+    """Above the compile-cliff threshold _infer_detect switches to the
+    two-program split (model+candidates / suppression); forcing the
+    threshold to 0 must not change any result bit."""
+    import jax.numpy as jnp
+
+    import yoloret_tpu.eval.map as evmap
+    import yoloret_tpu.ops.postprocess as pp
+    from yoloret_tpu.nn import build_detector
+
+    anchors = jnp.asarray(
+        [[10, 13], [16, 30], [33, 23], [30, 61], [62, 45], [59, 119],
+         [116, 90], [156, 198], [373, 326]], jnp.float32)
+    model = build_detector("mobilenetv2x75", num_classes=4)
+    import jax
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), False)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(2, 96, 96, 3).astype(np.float32))
+    hw = jnp.full((2, 2), 96.0, jnp.float32)
+
+    kw = dict(num_classes=4, score_threshold=0.0, nms_iou=0.5,
+              num_candidates=64)
+    fused = evmap._infer_detect(model, variables, images, hw, anchors, **kw)
+    monkeypatch.setattr(pp, "COMPILE_CLIFF_BM", 0)
+    split = evmap._infer_detect(model, variables, images, hw, anchors, **kw)
+    for name in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, name)), np.asarray(getattr(split, name)),
+            err_msg=name)

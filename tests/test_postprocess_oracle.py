@@ -223,3 +223,38 @@ def test_detect_batch_matches_per_image_detect(rng):
         np.testing.assert_allclose(
             sorted(map(tuple, bb.round(3))), sorted(map(tuple, bi.round(3))), atol=1e-2
         )
+
+
+def test_split_stages_match_fused_detect_batch(rng):
+    """shared_pool_candidates + shared_pool_suppress, jitted as two
+    SEPARATE programs (the compile-cliff escape for MAP-grade eval,
+    tools/compile_split.py), are bitwise the fused detect_batch."""
+    import jax
+
+    from yoloret_tpu.ops import (
+        detect_batch, shared_pool_candidates, shared_pool_suppress,
+    )
+
+    H = W = 96
+    B, C = 3, 4
+    outputs = [
+        jnp.asarray((rng.randn(B, H // s, W // s, 3, 5 + C) * 1.5).astype(np.float32))
+        for s in (32, 16, 8)
+    ]
+    hw = jnp.asarray([[150.0, 200.0], [96.0, 96.0], [300.0, 40.0]], jnp.float32)
+    kw = dict(score_threshold=0.3, iou_threshold=0.5, max_det_per_class=10)
+    fused = jax.jit(
+        lambda outs, h: detect_batch(
+            outs, jnp.asarray(ANCHORS), C, h, num_candidates=64, **kw)
+    )(tuple(outputs), hw)
+    stage_a = jax.jit(
+        lambda outs, h: shared_pool_candidates(
+            outs, jnp.asarray(ANCHORS), C, h, num_candidates=64)
+    )
+    stage_b = jax.jit(lambda b_, s_: shared_pool_suppress(b_, s_, **kw))
+    split = stage_b(*stage_a(tuple(outputs), hw))
+    for name in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fused, name)), np.asarray(getattr(split, name)),
+            err_msg=name,
+        )

@@ -139,7 +139,44 @@ def _infer_detect(
 
     from yoloret_tpu.ops import detect_batch
 
-    global _INFER_JIT
+    from yoloret_tpu.ops.postprocess import COMPILE_CLIFF_BM
+
+    global _INFER_JIT, _CAND_JIT, _SUP_JIT
+    # Above the XLA-TPU compile cliff in batch*num_candidates, jit the
+    # shared-pool pipeline as TWO programs (model+candidates /
+    # suppression): compiles in seconds instead of 330-920 s and
+    # measured FASTER (13.3k vs 12.8k img/s at b128/M512) —
+    # tools/compile_split.py, tests/test_postprocess_oracle.py proves
+    # the split bitwise-equal to the fused program.
+    if (pool in (None, "shared")
+            and images.shape[0] * num_candidates > COMPILE_CLIFF_BM):
+        from yoloret_tpu.ops import shared_pool_candidates, shared_pool_suppress
+
+        if _CAND_JIT is None:
+            def cand(model, variables, images, image_hw, anchors,
+                     num_classes, num_candidates, approx_topk):
+                outs = model.apply(variables, images, False)
+                return shared_pool_candidates(
+                    outs, anchors, num_classes, image_hw,
+                    num_candidates=num_candidates, approx_topk=approx_topk,
+                )
+            _CAND_JIT = jax.jit(
+                cand, static_argnums=(0, 5),
+                static_argnames=("num_candidates", "approx_topk"),
+            )
+            _SUP_JIT = jax.jit(
+                shared_pool_suppress,
+                static_argnames=("score_threshold", "iou_threshold",
+                                 "max_det_per_class"),
+            )
+        boxes, cls_scores = _CAND_JIT(
+            model, variables, images, image_hw, anchors, num_classes,
+            num_candidates=num_candidates, approx_topk=approx_topk,
+        )
+        return _SUP_JIT(
+            boxes, cls_scores,
+            score_threshold=score_threshold, iou_threshold=nms_iou,
+        )
     if _INFER_JIT is None:
         def fn(model, variables, images, image_hw, anchors,
                num_classes, score_threshold, nms_iou,
@@ -167,6 +204,8 @@ def _infer_detect(
 
 
 _INFER_JIT = None
+_CAND_JIT = None
+_SUP_JIT = None
 
 
 def evaluate_map(

@@ -8,7 +8,13 @@ from yoloret_tpu.ops.decode import (
 )
 from yoloret_tpu.ops.letterbox import letterbox_jax, letterbox_numpy, letterbox_params
 from yoloret_tpu.ops.nms import NMSResult, class_aware_nms
-from yoloret_tpu.ops.postprocess import detect, detect_batch, gather_boxes_and_scores
+from yoloret_tpu.ops.postprocess import (
+    detect,
+    detect_batch,
+    gather_boxes_and_scores,
+    shared_pool_candidates,
+    shared_pool_suppress,
+)
 from yoloret_tpu.ops.targets import (
     ANCHOR_MASKS,
     GRID_STEPS,
@@ -35,6 +41,8 @@ __all__ = [
     "class_aware_nms",
     "detect",
     "detect_batch",
+    "shared_pool_candidates",
+    "shared_pool_suppress",
     "gather_boxes_and_scores",
     "ANCHOR_MASKS",
     "GRID_STEPS",

@@ -395,21 +395,34 @@ def _suppress_lax_shared(
     return out_boxes, out_scores
 
 
-def _detect_batch_shared_pool(
+# batch * num_candidates above which the FUSED shared-pool program hits
+# the XLA-TPU backend-pass compile cliff (measured round 3: b128*M256 =
+# 32768 compiles in 7.4 s, b128*M512 = 65536 in 330-920 s server-side).
+# Callers that jit the two stage functions below as separate programs
+# dodge it entirely (24.8 s + 6.4 s at the cliff config, and the split
+# measured FASTER end to end — tools/compile_split.py).
+COMPILE_CLIFF_BM = 32768
+
+
+def shared_pool_candidates(
     outputs: Sequence[jnp.ndarray],
     anchors: jnp.ndarray,
     num_classes: int,
     image_hw: jnp.ndarray,
     *,
-    max_det_per_class: int,
-    score_threshold: float,
-    iou_threshold: float,
     num_candidates: int,
-    approx_topk: bool,
-) -> NMSResult:
-    """Shared-pool postprocess: ONE top-M over positions (ranked by best
-    class score) -> box decode ONCE per candidate -> per-class greedy
-    suppression over the shared pool.
+    approx_topk: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate-selection half of the shared-pool postprocess: ONE
+    top-M over positions (ranked by best class score) -> box decode ONCE
+    per candidate. Returns (boxes [B, M, 4] in image pixels,
+    cls_scores [B, C, M]).
+
+    Exposed separately from :func:`shared_pool_suppress` so callers can
+    jit the two halves as SEPARATE XLA programs: the fused program hits
+    an XLA-TPU backend-pass compile cliff at large batch*num_candidates
+    (330-920 s at b128/M512) that the two halves, compiled in
+    isolation, do not (see the note in :func:`detect_batch`).
 
     vs the per-class structure this removes the dominant [B, C, N]
     top-k scan (C× less scanning), decodes [B, M, 4] boxes instead of
@@ -418,7 +431,6 @@ def _detect_batch_shared_pool(
     sigmoid(max_c l_c), so no [B, N, C] score tensor is materialized
     before the gather."""
     from yoloret_tpu.ops.decode import correct_boxes
-    from yoloret_tpu.ops.nms_pallas import fused_result
 
     input_hw = (outputs[0].shape[-4] * 32, outputs[0].shape[-3] * 32)
     b = outputs[0].shape[0]
@@ -454,6 +466,22 @@ def _detect_batch_shared_pool(
     xy = (jax.nn.sigmoid(cand_raw[..., :2]) + cand_grid) / cand_gwh
     wh = jnp.exp(cand_raw[..., 2:4]) * cand_anchor / wh_in
     boxes = correct_boxes(xy, wh, input_hw, image_hw[:, None, :])  # [B, M, 4]
+    return boxes, cls_scores
+
+
+def shared_pool_suppress(
+    boxes: jnp.ndarray,
+    cls_scores: jnp.ndarray,
+    *,
+    max_det_per_class: int = 20,
+    score_threshold: float = 0.6,
+    iou_threshold: float = 0.5,
+) -> NMSResult:
+    """Suppression half of the shared-pool postprocess: per-class greedy
+    NMS over the shared candidate set from
+    :func:`shared_pool_candidates` (boxes [B, M, 4],
+    cls_scores [B, C, M])."""
+    from yoloret_tpu.ops.nms_pallas import fused_result
 
     out_boxes, out_scores = _suppress_lax_shared(
         boxes,
@@ -463,3 +491,29 @@ def _detect_batch_shared_pool(
         score_threshold=score_threshold,
     )
     return fused_result(out_boxes, out_scores)
+
+
+def _detect_batch_shared_pool(
+    outputs: Sequence[jnp.ndarray],
+    anchors: jnp.ndarray,
+    num_classes: int,
+    image_hw: jnp.ndarray,
+    *,
+    max_det_per_class: int,
+    score_threshold: float,
+    iou_threshold: float,
+    num_candidates: int,
+    approx_topk: bool,
+) -> NMSResult:
+    """Fused shared-pool postprocess: candidates + suppression in one
+    traced graph (see the two stage functions above)."""
+    boxes, cls_scores = shared_pool_candidates(
+        outputs, anchors, num_classes, image_hw,
+        num_candidates=num_candidates, approx_topk=approx_topk,
+    )
+    return shared_pool_suppress(
+        boxes, cls_scores,
+        max_det_per_class=max_det_per_class,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+    )
