@@ -165,13 +165,16 @@ def detect_batch(
     if pool == "shared" and zoom_outputs is None and not use_pallas:
         # Compile-time note (round 3, measured): XLA-TPU's backend
         # passes fall off a compile cliff on this program when
-        # batch * num_candidates is large — b128/M512 compiled in
-        # 330-920 s (server-load-dependent) while b32/M512 took 8.6 s
+        # batch * num_candidates > COMPILE_CLIFF_BM — b128/M512 compiled
+        # in 330-920 s (server-load-dependent) while b32/M512 took 8.6 s
         # and b128/M256 7.4 s; the same HLO compiles for CPU in 6 s, and
         # the suppression loop and top-k each compile in seconds in
         # isolation. Chunking the batch through lax.map did NOT dodge
         # the cliff (557-778 s) and cost 13-25% runtime, so it was
-        # reverted. If eval compile time matters, pass
+        # reverted. THE FIX: jit shared_pool_candidates and
+        # shared_pool_suppress as two separate programs (seconds to
+        # compile, measured faster — tools/compile_split.py); the eval
+        # path does this automatically. In-one-program escape:
         # num_candidates=256 (measured -0.003 mAP on the crowded
         # synthetic, tools/topk_study.py).
         return _detect_batch_shared_pool(
