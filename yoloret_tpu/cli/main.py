@@ -220,6 +220,12 @@ def main(argv=None) -> int:
             kw = dict(pool="per_class", approx_topk=False,
                       num_candidates=sum((h // s) * (w // s) * 3
                                          for s in (32, 16, 8)))
+        if cfg.mesh_data and cfg.mesh_data > 1:
+            # Data-parallel evaluation: batches shard over the mesh's
+            # data axis (batch_size must be a multiple of mesh_data).
+            from yoloret_tpu.parallel import make_mesh
+
+            kw["mesh"] = make_mesh(data=cfg.mesh_data)
         evaluate_map(pred.model, pred.variables, ds, anchors, class_names,
                      nms_iou=cfg.nms_iou, **kw)
     elif mode_name == "ANCHORS":

@@ -17,6 +17,16 @@ request size above 32 — XLA emits a worse program at b256 (bytes/img
 ``use_int8=True`` swaps the backbone onto the W8A8 path
 (nn/int8_infer.py): int8 tensors between backbone convs, calibrated on
 ``calibration_images`` (measured -0.0083 mAP on the int8-study recipe).
+
+``mesh=`` (a ``jax.sharding.Mesh`` from ``parallel.make_mesh``) turns
+the Predictor data-parallel: weights replicate once at construction,
+every padded request batch shards over the mesh's ``data`` axis, and
+XLA runs the identical program per shard with no collectives in the
+hot path (decode/NMS are per-image). Batch buckets round up to
+multiples of the data-axis size so every shard stays shape-static.
+This is the serving-side counterpart of ``evaluate_map(mesh=)`` —
+beyond the reference, whose inference stack is strictly batch-1
+(code/yolo.py:51-103).
 """
 
 from __future__ import annotations
@@ -71,6 +81,8 @@ class Predictor:
         calibration_images: Optional[np.ndarray] = None,  # [N,H,W,3]
         # uint8/float letterbox-sized images for int8 calibration;
         # uniform noise when absent (pass real images in production)
+        mesh=None,  # jax.sharding.Mesh: data-parallel serving — padded
+        # batches shard over the mesh's `data` axis, weights replicate
     ):
         if class_names is None:
             assert classes_path, "need class_names or classes_path"
@@ -84,7 +96,18 @@ class Predictor:
         self.score_threshold = score_threshold
         self.iou_threshold = iou_threshold
         assert batch_buckets, "batch_buckets must be non-empty"
-        self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
+        self.mesh = mesh
+        self._n_data = 1
+        if mesh is not None:
+            from yoloret_tpu.parallel import DATA_AXIS
+
+            self._n_data = int(mesh.shape[DATA_AXIS])
+        # Round every bucket up to a multiple of the data-axis size so
+        # each shard keeps a static shape (dedup: 1 and 8 both -> 8 on
+        # an 8-way mesh).
+        nd = self._n_data
+        self.batch_buckets = tuple(sorted(
+            {-(-int(b) // nd) * nd for b in batch_buckets}))
         self.dispatched_batch_sizes: set = set()  # compiled-shape telemetry
         # One entry per jit TRACE of _infer (appended at trace time, so a
         # shape that retraces shows up twice): the ground-truth compile
@@ -110,6 +133,16 @@ class Predictor:
                 "batch_stats": restored["batch_stats"],
             }
 
+        self._put_batch = jnp.asarray
+        if mesh is not None:
+            from yoloret_tpu.parallel import batch_sharding, replicate
+
+            repl = replicate(mesh)
+            data_shard = batch_sharding(mesh)
+            self.variables = jax.tree.map(
+                lambda a: jax.device_put(a, repl), self.variables)
+            self._put_batch = lambda x: jax.device_put(x, data_shard)
+
         anchors_j = jnp.asarray(self.anchors)
         nc = len(self.class_names)
         self.zoom_ensemble = zoom_ensemble
@@ -126,6 +159,12 @@ class Predictor:
             if calib.max() > 1.5:
                 calib = calib / 255.0
             self._qp = quantize_from_data(self.model, self.variables, calib)
+            if mesh is not None:
+                from yoloret_tpu.parallel import replicate
+
+                repl = replicate(mesh)
+                self._qp = jax.tree.map(
+                    lambda a: jax.device_put(jnp.asarray(a), repl), self._qp)
 
         @jax.jit
         def _infer(variables, images, image_hw):
@@ -205,7 +244,8 @@ class Predictor:
             hw = np.concatenate(
                 [hw, np.broadcast_to(hw[:1], (bucket - batch, 2))])
         self.dispatched_batch_sizes.add(bucket)
-        res = self._infer(self.variables, jnp.asarray(lb), jnp.asarray(hw))
+        res = self._infer(
+            self.variables, self._put_batch(lb), self._put_batch(hw))
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)

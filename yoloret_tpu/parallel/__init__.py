@@ -1,4 +1,6 @@
 from yoloret_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     batch_sharding,
     make_mesh,
     replicate,
@@ -8,6 +10,8 @@ from yoloret_tpu.parallel.mesh import (
 from yoloret_tpu.parallel.prefetch import device_prefetch
 
 __all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
     "batch_sharding",
     "make_mesh",
     "replicate",
