@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truncate_block", type=float,
                    help="freeze only backbone blocks up to this depth index "
                         "(truncated-transfer study); default: whole backbone")
+    p.add_argument("--mosaic", type=float,
+                   help="ONLINE 4-image mosaic probability per sample "
+                        "(extension; the reference's mosaic is offline-"
+                        "only) — lands in augment.mosaic_prob")
+    p.add_argument("--mixup", type=float,
+                   help="ONLINE mixup probability per sample (extension; "
+                        "lam~U(0,1) pixel blend + box union) — lands in "
+                        "augment.mixup_prob")
     p.add_argument("--score", dest="score_threshold", type=float)
     p.add_argument("--nms_iou", type=float)
     p.add_argument("--exact_nms", action="store_true",
@@ -139,6 +147,13 @@ def args_to_config(args) -> RunConfig:
         overrides["learning_rate"] = tuple(args.learning_rate)
     if getattr(args, "train_unfreeze", None) and "freeze" not in overrides:
         overrides["freeze"] = False
+    aug = dict(cfg.augment or {})
+    if getattr(args, "mosaic", None) is not None:
+        aug["mosaic_prob"] = float(args.mosaic)
+    if getattr(args, "mixup", None) is not None:
+        aug["mixup_prob"] = float(args.mixup)
+    if aug:
+        overrides["augment"] = aug
     return cfg.replace(**overrides)
 
 

@@ -7,6 +7,7 @@ from yoloret_tpu.data.annotations import (
 from yoloret_tpu.data.augment import (
     AugmentConfig,
     augment_batch,
+    mix_batch,
     eval_batch,
     hsv_to_rgb,
     rgb_to_hsv,
@@ -20,6 +21,7 @@ __all__ = [
     "parse_annotation_line",
     "AugmentConfig",
     "augment_batch",
+    "mix_batch",
     "eval_batch",
     "hsv_to_rgb",
     "rgb_to_hsv",

@@ -56,6 +56,13 @@ class AugmentConfig:
     blur: bool = False  # 5x5 gaussian blur p=1 (reference utils.py:234-235
     # random_blur; default off) — device-side depthwise conv here
     max_boxes: int = 20
+    mosaic_prob: float = 0.0  # ONLINE 4-image mosaic probability per
+    # sample (extension: the reference ships mosaic only as the offline
+    # script, augment_data.py:148-192); applied batch-level on device
+    # AFTER the per-image chain, see mix_batch
+    mixup_prob: float = 0.0  # ONLINE mixup probability per sample
+    # (reference offline mixup augment_data.py:122-145); mosaic wins
+    # when both fire
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +220,100 @@ def augment_batch(
     return jax.vmap(lambda i, b, v, r: _augment_one(i, b, v, r, cfg))(
         images, boxes, valid, rngs
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mix_batch(
+    images: jnp.ndarray,  # [B, H, W, 3] f32, post augment_batch
+    boxes: jnp.ndarray,  # [B, T, 5] (x1, y1, x2, y2, cls) output pixels
+    valid: jnp.ndarray,  # [B, T] bool
+    rng: jax.Array,
+    cfg: AugmentConfig,
+):
+    """ONLINE mosaic / mixup at the batch level — an extension: the
+    reference implements cutout/mixup/mosaic only as an OFFLINE dataset
+    script (reference: code/augment_data.py:122-192); here the same ops
+    run on device inside the training input stream, after the per-image
+    affine/photometric chain and before target assignment.
+
+    Per sample i (independent draws):
+      * with p = cfg.mosaic_prob: 2x2 half-scale mosaic of rows
+        i, i+1, i+2, i+3 (mod B). Deviation from the offline tool's
+        random mosaic center (augment_data.py:156-160): the center is
+        fixed at (W/2, H/2) so every tile keeps a static shape under
+        jit (docs/parity.md).
+      * else with p = cfg.mixup_prob: pixel blend with row i+B/2 at
+        lam ~ U(0, 1) (reference augment_data.py:131), box union at
+        full weight (:141-145).
+      * else: unchanged.
+
+    Returns (images [B, H, W, 3], boxes [B, 4T, 5], valid [B, 4T]) —
+    box capacity grows 4x for the mosaic union; untouched rows keep
+    their boxes in the first T slots. Mix partners come from the SAME
+    (process-local) batch, so a process-sharded input stream with
+    mixing enabled is not bitwise an unsharded one (mixing draws use a
+    fold_in key and never perturb the default stream — with both probs
+    0 the pipeline is bitwise identical to not calling this at all).
+    """
+    b, h, w, _ = images.shape
+    t = boxes.shape[1]
+    fw, fh = float(w), float(h)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    do_mosaic = jax.random.uniform(k1, (b,)) < cfg.mosaic_prob
+    do_mixup = (~do_mosaic) & (jax.random.uniform(k2, (b,)) < cfg.mixup_prob)
+
+    roll = lambda x, s: jnp.roll(x, -s, axis=0)
+    boxes = jnp.where(valid[..., None], boxes, 0.0)
+
+    # Mosaic image: half-scale tiles, fixed 2x2 grid.
+    h2, w2 = h // 2, w // 2
+    small = jax.image.resize(images, (b, h2, w2, 3), "linear")
+    mosaic_img = jnp.concatenate(
+        [
+            jnp.concatenate([small, roll(small, 1)], axis=2),
+            jnp.concatenate([roll(small, 2), roll(small, 3)], axis=2),
+        ],
+        axis=1,
+    )
+
+    def quad(bx, v, ox, oy):
+        off = jnp.asarray([ox, oy, ox, oy], jnp.float32)
+        xy = jnp.clip(bx[..., :4] * 0.5 + off,
+                      jnp.asarray([0.0, 0.0, 0.0, 0.0], jnp.float32),
+                      jnp.asarray([fw - 1, fh - 1, fw - 1, fh - 1], jnp.float32))
+        keep = v & ((xy[..., 2] - xy[..., 0]) > 1.0) & ((xy[..., 3] - xy[..., 1]) > 1.0)
+        return jnp.concatenate([xy, bx[..., 4:5]], -1), keep
+
+    q0, v0 = quad(boxes, valid, 0.0, 0.0)
+    q1, v1 = quad(roll(boxes, 1), roll(valid, 1), float(w2), 0.0)
+    q2, v2 = quad(roll(boxes, 2), roll(valid, 2), 0.0, float(h2))
+    q3, v3 = quad(roll(boxes, 3), roll(valid, 3), float(w2), float(h2))
+    mosaic_boxes = jnp.concatenate([q0, q1, q2, q3], axis=1)  # [B, 4T, 5]
+    mosaic_valid = jnp.concatenate([v0, v1, v2, v3], axis=1)
+
+    # Mixup: blend with the half-batch partner, union the boxes.
+    p = b // 2
+    lam = jax.random.uniform(k3, (b, 1, 1, 1))
+    mix_img = images * lam + roll(images, p) * (1.0 - lam)
+    zpad_b = jnp.zeros((b, 2 * t, 5), boxes.dtype)
+    zpad_v = jnp.zeros((b, 2 * t), bool)
+    mix_boxes = jnp.concatenate([boxes, roll(boxes, p), zpad_b], axis=1)
+    mix_valid = jnp.concatenate([valid, roll(valid, p), zpad_v], axis=1)
+
+    base_boxes = jnp.concatenate([boxes, zpad_b, jnp.zeros((b, t, 5), boxes.dtype)], axis=1)
+    base_valid = jnp.concatenate([valid, zpad_v, jnp.zeros((b, t), bool)], axis=1)
+
+    sel_i = do_mosaic[:, None, None, None]
+    sel_b = do_mosaic[:, None, None]
+    sel_v = do_mosaic[:, None]
+    mix_i = do_mixup[:, None, None, None]
+    mix_b = do_mixup[:, None, None]
+    mix_v = do_mixup[:, None]
+    out_img = jnp.where(sel_i, mosaic_img, jnp.where(mix_i, mix_img, images))
+    out_boxes = jnp.where(sel_b, mosaic_boxes, jnp.where(mix_b, mix_boxes, base_boxes))
+    out_valid = jnp.where(sel_v, mosaic_valid, jnp.where(mix_v, mix_valid, base_valid))
+    out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
+    return out_img, out_boxes, out_valid
 
 
 def _eval_one(image, boxes, valid, image_hw, cfg: AugmentConfig):

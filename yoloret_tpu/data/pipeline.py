@@ -336,6 +336,17 @@ class Dataset:
             self.augment,
             rngs=rngs,
         )
+        if self.augment.mosaic_prob > 0 or self.augment.mixup_prob > 0:
+            # Online mosaic/mixup (extension; data/augment.py::mix_batch).
+            # fold_in keeps the default stream's RNG consumption intact:
+            # with both probs 0 this branch never runs and batches are
+            # bitwise the same as before the feature existed.
+            from yoloret_tpu.data.augment import mix_batch
+
+            images, boxes_px, valid = mix_batch(
+                images, boxes_px, valid,
+                jax.random.fold_in(key, 0x6D6978), self.augment,
+            )
         boxes_px = jnp.where(valid[..., None], boxes_px, 0.0)
         ys = assign_targets_batch(
             boxes_px, self.input_hw, self.anchors, self.num_classes, self.num_scales

@@ -197,12 +197,21 @@ def main(argv=None):
                    help="serve through the W8A8 backbone "
                         "(nn/int8_infer.py; noise-calibrated unless the "
                         "Predictor is built in-process with real images)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel serving degree: batches shard "
+                        "over an N-way device mesh (batch buckets round "
+                        "up to multiples of N)")
     a = p.parse_args(argv)
+    mesh = None
+    if a.mesh_data and a.mesh_data > 1:
+        from yoloret_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=a.mesh_data)
     pred = Predictor(
         backbone=a.backbone, weights=a.weights,
         classes_path=a.classes_path, anchors_path=a.anchors_path,
         input_hw=(a.input_size, a.input_size), score_threshold=a.score,
-        use_int8=a.int8,
+        use_int8=a.int8, mesh=mesh,
     )
     DetectionServer(pred, a.host, a.port, max_batch=a.max_batch).start()
 
