@@ -224,14 +224,19 @@ class Predictor:
         chunks; smaller ones are padded up to the nearest bucket (padding
         rows replicate row 0 and are dropped from the results), so every
         request size maps onto one of ``batch_buckets``' compiled shapes.
+        All chunks are DISPATCHED before any result is read back (JAX
+        dispatch is async), so host letterboxing of chunk k+1 overlaps
+        the device executing chunk k.
         """
-        out: List[List[Detection]] = []
         top = self.batch_buckets[-1]
-        for start in range(0, len(images), top):
-            out.extend(self._detect_chunk(images[start:start + top]))
+        chunks = [images[s:s + top] for s in range(0, len(images), top)]
+        pending = [self._dispatch_chunk(c) for c in chunks]
+        out: List[List[Detection]] = []
+        for chunk, res in zip(chunks, pending):
+            out.extend(self._collect_chunk(len(chunk), res))
         return out
 
-    def _detect_chunk(self, images: Sequence[np.ndarray]) -> List[List[Detection]]:
+    def _dispatch_chunk(self, images: Sequence[np.ndarray]):
         batch = len(images)
         bucket = self._bucket_for(batch)
         lb = np.stack(
@@ -244,8 +249,10 @@ class Predictor:
             hw = np.concatenate(
                 [hw, np.broadcast_to(hw[:1], (bucket - batch, 2))])
         self.dispatched_batch_sizes.add(bucket)
-        res = self._infer(
+        return self._infer(
             self.variables, self._put_batch(lb), self._put_batch(hw))
+
+    def _collect_chunk(self, batch: int, res) -> List[List[Detection]]:
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         classes = np.asarray(res.classes)
