@@ -6,7 +6,6 @@ preservation, passthrough identity, and pipeline integration."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from yoloret_tpu.data.augment import AugmentConfig, mix_batch
 
@@ -88,7 +87,7 @@ def test_mosaic_wins_when_both_fire():
     assert np.asarray(ov)[0].sum() == 4  # mosaic's 4-box union, not mixup's 2
 
 
-def test_pipeline_integration(tmp_path, rng):
+def test_pipeline_integration(tmp_path):
     """Dataset with mosaic/mixup enabled emits well-formed train batches
     (targets assigned over the 4T box capacity) and the default path is
     untouched (branch gated on the probs)."""
