@@ -26,15 +26,32 @@ def _batch():
     return jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(valid)
 
 
-def test_passthrough_pads_capacity_only():
+def test_passthrough_is_identity():
+    """Both probs 0: inputs pass through untouched at capacity T (no
+    4x padding for a disabled feature — advisor finding, round 3)."""
     imgs, boxes, valid = _batch()
     cfg = AugmentConfig(input_hw=(H, W), mosaic_prob=0.0, mixup_prob=0.0)
     oi, ob, ov = mix_batch(imgs, boxes, valid, jax.random.PRNGKey(0), cfg)
     np.testing.assert_array_equal(np.asarray(oi), np.asarray(imgs))
+    assert ob.shape == (4, T, 5) and ov.shape == (4, T)
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(boxes))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(valid))
+
+
+def test_capacity_sized_by_enabled_modes():
+    """mixup-only needs a 2-way union: capacity is 2T, not 4T; mosaic
+    (with or without mixup) needs 4T."""
+    imgs, boxes, valid = _batch()
+    key = jax.random.PRNGKey(0)
+    cfg = AugmentConfig(input_hw=(H, W), mixup_prob=0.5)
+    _, ob, ov = mix_batch(imgs, boxes, valid, key, cfg)
+    assert ob.shape == (4, 2 * T, 5) and ov.shape == (4, 2 * T)
+    cfg = AugmentConfig(input_hw=(H, W), mosaic_prob=0.5)
+    _, ob, ov = mix_batch(imgs, boxes, valid, key, cfg)
     assert ob.shape == (4, 4 * T, 5) and ov.shape == (4, 4 * T)
-    np.testing.assert_array_equal(np.asarray(ob[:, :T]), np.asarray(boxes))
-    np.testing.assert_array_equal(np.asarray(ov[:, :T]), np.asarray(valid))
-    assert not np.asarray(ov[:, T:]).any()
+    cfg = AugmentConfig(input_hw=(H, W), mosaic_prob=0.5, mixup_prob=0.5)
+    _, ob, ov = mix_batch(imgs, boxes, valid, key, cfg)
+    assert ob.shape == (4, 4 * T, 5) and ov.shape == (4, 4 * T)
 
 
 def test_mosaic_composes_quadrants_and_boxes():
@@ -122,3 +139,36 @@ def test_pipeline_integration(tmp_path):
 
     base = next(iter(Dataset(str(ann), **kw).build(epochs=1)))
     assert base["gt_boxes"].shape == (4, 20, 4)  # default path unchanged
+
+
+def test_small_batch_mixing_warns(tmp_path):
+    """batch < 4 with mosaic (or < 2 with mixup) wraps partners onto the
+    sample itself — Dataset warns at construction (advisor, round 3)."""
+    import warnings as _w
+
+    from PIL import Image
+
+    from yoloret_tpu.data import Dataset, DatasetMode
+
+    img = tmp_path / "w.jpg"
+    Image.fromarray(np.full((32, 32, 3), 50, np.uint8)).save(img)
+    ann = tmp_path / "w_2.txt"
+    ann.write_text(f"{img} 2,2,20,20,0\n{img} 2,2,20,20,0\n")
+    anchors = np.array([[10, 13]] * 9, np.float32)
+    kw = dict(anchors=anchors, num_classes=1, input_hw=(32, 32),
+              mode=DatasetMode.TRAIN, seed=0)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        Dataset(str(ann), batch_size=2,
+                augment_config=AugmentConfig(mosaic_prob=0.5), **kw)
+    assert any("mosaic" in str(r.message) for r in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        Dataset(str(ann), batch_size=1,
+                augment_config=AugmentConfig(mixup_prob=0.5), **kw)
+    assert any("mixup" in str(r.message) for r in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        Dataset(str(ann), batch_size=2,
+                augment_config=AugmentConfig(mixup_prob=0.5), **kw)
+    assert not rec  # batch 2 mixup is fine

@@ -80,3 +80,33 @@ def test_mesh_predictor_chunks_oversize_requests(predictors):
     out = dp.detect_arrays(_frames(19, seed=5))  # 16 + padded-to-8 chunk
     assert len(out) == 19
     assert dp.dispatched_batch_sizes == {8, 16}
+
+
+def test_evaluate_map_rejects_indivisible_batch(tmp_path):
+    """--mesh_data evaluation with batch_size not a multiple of the data
+    axis must fail fast with a clear message, not an opaque GSPMD error
+    deep in device_put (advisor, round 3)."""
+    import jax
+    from PIL import Image
+
+    from yoloret_tpu.data import Dataset, DatasetMode
+    from yoloret_tpu.eval import evaluate_map
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    img = tmp_path / "im.jpg"
+    Image.fromarray(np.full((64, 64, 3), 90, np.uint8)).save(img)
+    ann = tmp_path / "t_1.txt"
+    ann.write_text(f"{img} 5,5,40,40,0\n")
+    ds = Dataset(str(ann), batch_size=3, anchors=ANCHORS, num_classes=1,
+                 input_hw=(64, 64), mode=DatasetMode.TEST)
+    model = build_detector("mobilenetv2x75", num_classes=1)
+    import jax.numpy as jnp
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), False)
+    with pytest.raises(ValueError, match="multiple of the mesh data axis"):
+        evaluate_map(model, variables, ds, ANCHORS, ["a"],
+                     mesh=make_mesh(jax.devices()[:8]))

@@ -247,16 +247,24 @@ def mix_batch(
         full weight (:141-145).
       * else: unchanged.
 
-    Returns (images [B, H, W, 3], boxes [B, 4T, 5], valid [B, 4T]) —
-    box capacity grows 4x for the mosaic union; untouched rows keep
-    their boxes in the first T slots. Mix partners come from the SAME
-    (process-local) batch, so a process-sharded input stream with
+    Returns (images [B, H, W, 3], boxes [B, cap*T, 5], valid [B, cap*T])
+    where cap is sized by the ENABLED modes (cfg is a static jit arg):
+    4 with mosaic on (4-way box union), 2 for mixup-only (2-way union),
+    and 1 — the inputs unchanged — with both probs 0. Untouched rows
+    keep their boxes in the first T slots. Mix partners come from the
+    SAME (process-local) batch, so a process-sharded input stream with
     mixing enabled is not bitwise an unsharded one (mixing draws use a
     fold_in key and never perturb the default stream — with both probs
     0 the pipeline is bitwise identical to not calling this at all).
     """
+    mosaic_on = cfg.mosaic_prob > 0
+    mixup_on = cfg.mixup_prob > 0
+    if not (mosaic_on or mixup_on):
+        return images, boxes, valid
+
     b, h, w, _ = images.shape
     t = boxes.shape[1]
+    cap = (4 if mosaic_on else 2) * t
     fw, fh = float(w), float(h)
     k1, k2, k3 = jax.random.split(rng, 3)
     do_mosaic = jax.random.uniform(k1, (b,)) < cfg.mosaic_prob
@@ -265,53 +273,62 @@ def mix_batch(
     roll = lambda x, s: jnp.roll(x, -s, axis=0)
     boxes = jnp.where(valid[..., None], boxes, 0.0)
 
-    # Mosaic image: half-scale tiles, fixed 2x2 grid.
-    h2, w2 = h // 2, w // 2
-    small = jax.image.resize(images, (b, h2, w2, 3), "linear")
-    mosaic_img = jnp.concatenate(
-        [
-            jnp.concatenate([small, roll(small, 1)], axis=2),
-            jnp.concatenate([roll(small, 2), roll(small, 3)], axis=2),
-        ],
-        axis=1,
-    )
+    def pad_cap(bx, v):
+        extra = cap - bx.shape[1]
+        return (
+            jnp.concatenate([bx, jnp.zeros((b, extra, 5), bx.dtype)], axis=1),
+            jnp.concatenate([v, jnp.zeros((b, extra), bool)], axis=1),
+        )
 
-    def quad(bx, v, ox, oy):
-        off = jnp.asarray([ox, oy, ox, oy], jnp.float32)
-        xy = jnp.clip(bx[..., :4] * 0.5 + off,
-                      jnp.asarray([0.0, 0.0, 0.0, 0.0], jnp.float32),
-                      jnp.asarray([fw - 1, fh - 1, fw - 1, fh - 1], jnp.float32))
-        keep = v & ((xy[..., 2] - xy[..., 0]) > 1.0) & ((xy[..., 3] - xy[..., 1]) > 1.0)
-        return jnp.concatenate([xy, bx[..., 4:5]], -1), keep
+    out_img = images
+    out_boxes, out_valid = pad_cap(boxes, valid)
 
-    q0, v0 = quad(boxes, valid, 0.0, 0.0)
-    q1, v1 = quad(roll(boxes, 1), roll(valid, 1), float(w2), 0.0)
-    q2, v2 = quad(roll(boxes, 2), roll(valid, 2), 0.0, float(h2))
-    q3, v3 = quad(roll(boxes, 3), roll(valid, 3), float(w2), float(h2))
-    mosaic_boxes = jnp.concatenate([q0, q1, q2, q3], axis=1)  # [B, 4T, 5]
-    mosaic_valid = jnp.concatenate([v0, v1, v2, v3], axis=1)
+    if mixup_on:
+        # Mixup: blend with the half-batch partner, union the boxes.
+        p = b // 2
+        lam = jax.random.uniform(k3, (b, 1, 1, 1))
+        mix_img = images * lam + roll(images, p) * (1.0 - lam)
+        mix_boxes, mix_valid = pad_cap(
+            jnp.concatenate([boxes, roll(boxes, p)], axis=1),
+            jnp.concatenate([valid, roll(valid, p)], axis=1),
+        )
+        mix_i = do_mixup[:, None, None, None]
+        out_img = jnp.where(mix_i, mix_img, out_img)
+        out_boxes = jnp.where(do_mixup[:, None, None], mix_boxes, out_boxes)
+        out_valid = jnp.where(do_mixup[:, None], mix_valid, out_valid)
 
-    # Mixup: blend with the half-batch partner, union the boxes.
-    p = b // 2
-    lam = jax.random.uniform(k3, (b, 1, 1, 1))
-    mix_img = images * lam + roll(images, p) * (1.0 - lam)
-    zpad_b = jnp.zeros((b, 2 * t, 5), boxes.dtype)
-    zpad_v = jnp.zeros((b, 2 * t), bool)
-    mix_boxes = jnp.concatenate([boxes, roll(boxes, p), zpad_b], axis=1)
-    mix_valid = jnp.concatenate([valid, roll(valid, p), zpad_v], axis=1)
+    if mosaic_on:
+        # Mosaic image: half-scale tiles, fixed 2x2 grid.
+        h2, w2 = h // 2, w // 2
+        small = jax.image.resize(images, (b, h2, w2, 3), "linear")
+        mosaic_img = jnp.concatenate(
+            [
+                jnp.concatenate([small, roll(small, 1)], axis=2),
+                jnp.concatenate([roll(small, 2), roll(small, 3)], axis=2),
+            ],
+            axis=1,
+        )
 
-    base_boxes = jnp.concatenate([boxes, zpad_b, jnp.zeros((b, t, 5), boxes.dtype)], axis=1)
-    base_valid = jnp.concatenate([valid, zpad_v, jnp.zeros((b, t), bool)], axis=1)
+        def quad(bx, v, ox, oy):
+            off = jnp.asarray([ox, oy, ox, oy], jnp.float32)
+            xy = jnp.clip(bx[..., :4] * 0.5 + off,
+                          jnp.asarray([0.0, 0.0, 0.0, 0.0], jnp.float32),
+                          jnp.asarray([fw - 1, fh - 1, fw - 1, fh - 1], jnp.float32))
+            keep = v & ((xy[..., 2] - xy[..., 0]) > 1.0) & ((xy[..., 3] - xy[..., 1]) > 1.0)
+            return jnp.concatenate([xy, bx[..., 4:5]], -1), keep
 
-    sel_i = do_mosaic[:, None, None, None]
-    sel_b = do_mosaic[:, None, None]
-    sel_v = do_mosaic[:, None]
-    mix_i = do_mixup[:, None, None, None]
-    mix_b = do_mixup[:, None, None]
-    mix_v = do_mixup[:, None]
-    out_img = jnp.where(sel_i, mosaic_img, jnp.where(mix_i, mix_img, images))
-    out_boxes = jnp.where(sel_b, mosaic_boxes, jnp.where(mix_b, mix_boxes, base_boxes))
-    out_valid = jnp.where(sel_v, mosaic_valid, jnp.where(mix_v, mix_valid, base_valid))
+        q0, v0 = quad(boxes, valid, 0.0, 0.0)
+        q1, v1 = quad(roll(boxes, 1), roll(valid, 1), float(w2), 0.0)
+        q2, v2 = quad(roll(boxes, 2), roll(valid, 2), 0.0, float(h2))
+        q3, v3 = quad(roll(boxes, 3), roll(valid, 3), float(w2), float(h2))
+        mosaic_boxes = jnp.concatenate([q0, q1, q2, q3], axis=1)  # [B, 4T, 5]
+        mosaic_valid = jnp.concatenate([v0, v1, v2, v3], axis=1)
+
+        sel_i = do_mosaic[:, None, None, None]
+        out_img = jnp.where(sel_i, mosaic_img, out_img)
+        out_boxes = jnp.where(do_mosaic[:, None, None], mosaic_boxes, out_boxes)
+        out_valid = jnp.where(do_mosaic[:, None], mosaic_valid, out_valid)
+
     out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
     return out_img, out_boxes, out_valid
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import enum
 import queue
 import threading
+import warnings
 from concurrent.futures import ThreadPoolExecutor
 import dataclasses
 from dataclasses import dataclass, field
@@ -128,6 +129,18 @@ class Dataset:
             )
         else:
             self.augment = AugmentConfig(input_hw=self.input_hw, max_boxes=self.max_boxes)
+        # Online mixing draws partners by rolling the (process-local)
+        # batch: below 4 rows mosaic repeats tiles, below 2 mixup blends
+        # a sample with itself — silently degraded augmentation.
+        local_batch = self.batch_size // self.process_count
+        if self.augment.mosaic_prob > 0 and local_batch < 4:
+            warnings.warn(
+                f"mosaic_prob > 0 with a process-local batch of {local_batch}"
+                " (< 4): mosaic tiles will repeat images", stacklevel=2)
+        if self.augment.mixup_prob > 0 and local_batch < 2:
+            warnings.warn(
+                f"mixup_prob > 0 with a process-local batch of {local_batch}"
+                " (< 2): mixup would blend a sample with itself", stacklevel=2)
         # Mixed text-list / TFRecord globs, like the reference
         # (code/yolo3/data.py:185-200).
         import glob as globlib

@@ -247,8 +247,17 @@ def evaluate_map(
 
     put = lambda x: x
     if mesh is not None:
-        from yoloret_tpu.parallel import batch_sharding, replicate
+        from yoloret_tpu.parallel import DATA_AXIS, batch_sharding, replicate
 
+        n_data = int(mesh.shape[DATA_AXIS])
+        if dataset.batch_size % n_data:
+            # Fail here with a clear message instead of an opaque GSPMD
+            # sharding error deep inside device_put (advisor, round 3).
+            raise ValueError(
+                f"batch_size ({dataset.batch_size}) must be a multiple of "
+                f"the mesh data axis ({n_data}) for sharded evaluation; "
+                f"pass --batch_size k*{n_data} or reduce --mesh_data"
+            )
         data_shard = batch_sharding(mesh)
         variables = jax.tree.map(
             lambda x: jax.device_put(x, replicate(mesh)), variables

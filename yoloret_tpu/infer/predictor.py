@@ -34,6 +34,7 @@ from __future__ import annotations
 import colorsys
 import dataclasses
 import time
+from collections import deque
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -76,6 +77,9 @@ class Predictor:
         # at serving thresholds with a measured -0.013 worst-case mAP
         # cost at threshold 0 (tools/topk_study.py)
         batch_buckets: Sequence[int] = (1, 8, 32, 128),
+        inflight_chunks: int = 2,  # bound on dispatched-but-uncollected
+        # top-bucket chunks: keeps host/device overlap while device
+        # buffers stay O(window) instead of O(request size)
         use_int8: bool = False,  # W8A8 backbone (nn/int8_infer.py);
         # measured -0.0083 mAP on the int8-study recipe
         calibration_images: Optional[np.ndarray] = None,  # [N,H,W,3]
@@ -108,6 +112,7 @@ class Predictor:
         nd = self._n_data
         self.batch_buckets = tuple(sorted(
             {-(-int(b) // nd) * nd for b in batch_buckets}))
+        self.inflight_chunks = max(1, int(inflight_chunks))
         self.dispatched_batch_sizes: set = set()  # compiled-shape telemetry
         # One entry per jit TRACE of _infer (appended at trace time, so a
         # shape that retraces shows up twice): the ground-truth compile
@@ -224,16 +229,23 @@ class Predictor:
         chunks; smaller ones are padded up to the nearest bucket (padding
         rows replicate row 0 and are dropped from the results), so every
         request size maps onto one of ``batch_buckets``' compiled shapes.
-        All chunks are DISPATCHED before any result is read back (JAX
-        dispatch is async), so host letterboxing of chunk k+1 overlaps
-        the device executing chunk k.
+        Chunks are dispatched ahead of readback (JAX dispatch is async),
+        so host letterboxing of chunk k+1 overlaps the device executing
+        chunk k — but only ``inflight_chunks`` chunks are in flight at
+        once, so device memory stays O(window), not O(request).
         """
         top = self.batch_buckets[-1]
         chunks = [images[s:s + top] for s in range(0, len(images), top)]
-        pending = [self._dispatch_chunk(c) for c in chunks]
         out: List[List[Detection]] = []
-        for chunk, res in zip(chunks, pending):
-            out.extend(self._collect_chunk(len(chunk), res))
+        pending: deque = deque()
+        for chunk in chunks:
+            pending.append((len(chunk), self._dispatch_chunk(chunk)))
+            if len(pending) > self.inflight_chunks:
+                n, res = pending.popleft()
+                out.extend(self._collect_chunk(n, res))
+        while pending:
+            n, res = pending.popleft()
+            out.extend(self._collect_chunk(n, res))
         return out
 
     def _dispatch_chunk(self, images: Sequence[np.ndarray]):
