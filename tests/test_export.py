@@ -292,3 +292,33 @@ def test_tflite_full_int8_with_calibration(tmp_path):
 
     ious = [iou(tb[0][i], jb[0][i]) for i in np.where(m)[0]]
     assert np.mean(ious) >= 0.5, ious
+
+
+def test_serving_savedmodel_writes_warmup(tmp_path):
+    """The serving flavor writes TF-Serving warm-up assets (the
+    reference's intended-but-broken warm-up write, code/yolo.py:368-383)
+    at the contract path, and the hand-encoded PredictionLog round-trips
+    into requests that actually drive the exported signature."""
+    tf = pytest.importorskip("tensorflow")
+    from yoloret_tpu.export.export import export_tf_flavor
+    from yoloret_tpu.export.warmup import read_warmup_records
+
+    cfg = _cfg(tmp_path)
+    out = export_tf_flavor(cfg, str(tmp_path / "srv"), "serving")
+    saved = os.path.join(out, "saved_model")
+    wpath = os.path.join(saved, "assets.extra", "tf_serving_warmup_requests")
+    assert os.path.exists(wpath), "warm-up record missing from assets.extra"
+
+    recs = read_warmup_records(saved)
+    assert len(recs) == 2
+    name, sig, inputs = recs[0]
+    assert name == cfg.backbone and sig == "serving_default"
+    assert set(inputs) == {"images", "image_hw"}
+    assert inputs["images"].shape == (1, 64, 64, 3)
+    assert inputs["images"].dtype == np.float32
+
+    m = tf.saved_model.load(saved)
+    fn = m.signatures["serving_default"]
+    res = fn(images=tf.constant(inputs["images"]),
+             image_hw=tf.constant(inputs["image_hw"]))
+    assert all(np.isfinite(v.numpy()).all() for v in res.values())

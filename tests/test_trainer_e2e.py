@@ -145,6 +145,60 @@ def test_early_stopper_semantics():
     assert s3.update(3.0)
 
 
+def test_use_ema_is_consumed(tiny_voc, tmp_path, monkeypatch):
+    """--use_ema wires end to end: the EMA copy is maintained, the
+    stage-end mAP evaluation CONSUMES it (not the raw params), and the
+    saved checkpoint carries it for Predictor(use_ema=True). The
+    reference maintains the average but never reads it back
+    (code/yolo3/train.py:42-45); consuming it is the intended behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    import yoloret_tpu.eval as eval_mod
+    from yoloret_tpu.train.trainer import train
+    from yoloret_tpu.utils.checkpoint import load_params
+
+    captured = {}
+    orig_eval = eval_mod.evaluate_map
+
+    def spy(model, variables, *a, **kw):
+        captured["params"] = variables["params"]
+        return orig_eval(model, variables, *a, **kw)
+
+    monkeypatch.setattr(eval_mod, "evaluate_map", spy)
+
+    cfg = RunConfig(
+        backbone="yolo_fastest",
+        input_size=(64, 64),
+        train_dataset=tiny_voc["ann"],
+        test_dataset=tiny_voc["ann"],  # -> stage-end mAP eval
+        classes_path=tiny_voc["classes"],
+        anchors_path=tiny_voc["anchors"],
+        batch_size=4,
+        epochs=(2, 2),
+        learning_rate=(1e-3, 1e-4),
+        freeze=False,
+        use_ema=True,
+        bf16=False,
+        mesh_data=1,
+        checkpoint_every=10**9,
+        log_dir=os.path.join(str(tmp_path), "logs_ema"),
+        seed=0,
+    )
+    out = train(cfg)
+    saved = load_params(out)
+    assert "ema_params" in saved, "stage-end save must carry the EMA copy"
+    # EMA has genuinely diverged from the raw params after 4 steps...
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda e, p: float(jnp.max(jnp.abs(e - p))),
+        saved["ema_params"], saved["params"]))
+    assert max(diffs) > 0.0
+    # ...and the evaluation consumed the EMA copy, not the raw params.
+    for got, ema in zip(jax.tree.leaves(captured["params"]),
+                        jax.tree.leaves(saved["ema_params"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ema))
+
+
 def test_multi_scale_schedule(tiny_voc, tmp_path):
     """Epochs cycle through the size list; every size compiles and runs."""
     from yoloret_tpu.train.trainer import train

@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class_loss", type=str, choices=["bce", "focal"])
     p.add_argument("--use_adv", action="store_true")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--rfcr", type=str,
+                   choices=["weighted_sum", "concat", "none"],
+                   help="RFCR fusion: the paper's WeightedSum (default), "
+                        "the legacy concat proto-RFCR, or none (ablation "
+                        "baseline; taps feed the neck directly)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone activations in the "
                         "backward pass (memory for ~30%% backbone FLOPs)")
@@ -135,7 +140,7 @@ def args_to_config(args) -> RunConfig:
         "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "
         "bf16 mesh_data export image video output quantize prune freeze "
-        "train_unfreeze track_interval int8 remat"
+        "train_unfreeze track_interval int8 remat rfcr"
     ).split():
         if hasattr(args, f):
             overrides[f] = getattr(args, f)
@@ -185,7 +190,7 @@ def main(argv=None) -> int:
             classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
             iou_threshold=cfg.nms_iou, bf16=cfg.bf16, use_ema=cfg.use_ema,
-            **_int8_kw(cfg),
+            rfcr=cfg.rfcr, **_int8_kw(cfg),
         )
         img, dets = pred.detect_image(cfg.image or _demo_image())
         out = cfg.output or "demo_out.png"
@@ -204,7 +209,7 @@ def main(argv=None) -> int:
             classes_path=cfg.classes_path, anchors_path=cfg.anchors_path,
             input_hw=cfg.input_size, score_threshold=cfg.score_threshold,
             iou_threshold=cfg.nms_iou, bf16=cfg.bf16,
-            **_int8_kw(cfg),
+            rfcr=cfg.rfcr, **_int8_kw(cfg),
         )
         n = pred.detect_video(cfg.video, cfg.output,
                               track_interval=cfg.track_interval)
@@ -222,7 +227,7 @@ def main(argv=None) -> int:
             class_names=class_names, anchors=anchors,
             input_hw=cfg.input_size, bf16=cfg.bf16, use_ema=cfg.use_ema,
             score_threshold=0.0,  # reference sets score=0 for MAP, main.py:172
-            **_int8_kw(cfg),
+            rfcr=cfg.rfcr, **_int8_kw(cfg),
         )
         ds = Dataset(
             cfg.test_dataset, batch_size=max(cfg.batch_size, 1), anchors=anchors,

@@ -100,6 +100,11 @@ class RunConfig:
     ignore_thresh: float = 0.5
     use_adv: bool = False
     use_ema: bool = False
+    rfcr: str = "weighted_sum"  # RFCR fusion — the paper's ablation axis
+    # (reference code/yolo3/model.py:117-168): 'weighted_sum' (the
+    # contribution), 'concat' (the legacy scarf proto-RFCR), 'none'
+    # (backbone taps feed the neck directly — the no-RFCR baseline).
+    # Measured deltas: tools/ablation.py; table in docs/design.md.
     remat: bool = False  # jax.checkpoint the backbone in the train
     # step: backward recomputes the backbone forward instead of keeping
     # its activations resident — O(taps) not O(depth) activation memory,

@@ -328,6 +328,14 @@ def export_tf_flavor(cfg: RunConfig, out_dir: str, flavor: str,
                 f"{out_dir}/tfjs_model"
             )
     else:
+        # Warm-up assets: TF-Serving pre-executes these requests before
+        # taking traffic (the reference's intended-but-broken warm-up
+        # write, code/yolo.py:368-383). Two representative batches cover
+        # compile + cache warm.
+        from yoloret_tpu.export.warmup import write_warmup_records
+
+        rep = _representative_dataset(cfg, batch, n_samples=2)
+        write_warmup_records(saved_dir, rep(), model_name=cfg.backbone)
         print(f"TF-Serving SavedModel -> {saved_dir}")
     return out_dir
 

@@ -87,6 +87,8 @@ class Predictor:
         # uniform noise when absent (pass real images in production)
         mesh=None,  # jax.sharding.Mesh: data-parallel serving — padded
         # batches shard over the mesh's `data` axis, weights replicate
+        rfcr: str = "weighted_sum",  # RFCR fusion variant; must match
+        # how the weights were trained (tools/ablation.py)
     ):
         if class_names is None:
             assert classes_path, "need class_names or classes_path"
@@ -123,6 +125,7 @@ class Predictor:
             backbone,
             num_classes=len(self.class_names),
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            rfcr=rfcr,
         )
         self.variables = self.model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, *self.input_hw, 3)), False

@@ -51,6 +51,12 @@ class YoloReT(nn.Module):
     remat: bool = False  # rematerialize backbone activations in the
     # backward pass (jax.checkpoint) — trades ~30% extra forward FLOPs
     # for O(taps) instead of O(depth) activation memory at large batch
+    rfcr_fusion: str = "weighted_sum"  # the paper's RFCR ablation axis:
+    # 'weighted_sum' (the contribution, reference model.py:117-168),
+    # 'concat' (the legacy scarf proto-RFCR,
+    # model_computations.py:229-319), 'none' (taps feed the neck
+    # directly — the paper's no-RFCR baseline). Measured deltas:
+    # tools/ablation.py, table in docs/design.md.
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -77,7 +83,8 @@ class YoloReT(nn.Module):
             return
         else:
             self.body = wrap(EfficientNet)(dtype=self.dtype, **kw)
-        self.rfcr = RFCR(dtype=self.dtype)
+        if self.rfcr_fusion != "none":
+            self.rfcr = RFCR(fusion=self.rfcr_fusion, dtype=self.dtype)
         self.neck = DetectionNeck(
             num_anchors=self.num_anchors,
             num_classes=self.num_classes,
@@ -107,10 +114,15 @@ class YoloReT(nn.Module):
             return self.body(images, train)
         x = images.astype(self.dtype)
         feats = self.body(x, backbone_train)
-        # Shallow tap is pooled x4 to the /16 scale before collection
-        # (reference: code/yolo3/model.py:190).
-        b4 = maxpool_downsample(feats["c2"], 4)
-        b1, b2, b3 = self.rfcr(feats["c5"], feats["c4"], feats["c3"], b4, train)
+        if self.rfcr_fusion != "none":
+            # Shallow tap is pooled x4 to the /16 scale before collection
+            # (reference: code/yolo3/model.py:190).
+            b4 = maxpool_downsample(feats["c2"], 4)
+            b1, b2, b3 = self.rfcr(
+                feats["c5"], feats["c4"], feats["c3"], b4, train
+            )
+        else:
+            b1, b2, b3 = feats["c5"], feats["c4"], feats["c3"]
         y1, y2, y3 = self.neck(b1, b2, b3, train)
 
         def split(y):
@@ -128,13 +140,19 @@ def build_detector(
     num_anchors: int = 3,
     dtype: Any = jnp.float32,
     remat: bool = False,
+    rfcr: str = "weighted_sum",
 ) -> YoloReT:
     if backbone not in BACKBONES:
         raise ValueError(f"unknown backbone {backbone!r}; options: {sorted(BACKBONES)}")
+    if rfcr not in ("weighted_sum", "concat", "none"):
+        raise ValueError(
+            f"unknown rfcr fusion {rfcr!r}; options: weighted_sum, concat, none"
+        )
     return YoloReT(
         backbone=backbone,
         num_classes=num_classes,
         num_anchors=num_anchors,
         remat=remat,
+        rfcr_fusion=rfcr,
         dtype=dtype,
     )

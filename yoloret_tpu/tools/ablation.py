@@ -1,0 +1,351 @@
+"""Ablation study for the paper's two scientific contributions.
+
+YOLO-ReT's claims (reference: paper + code/yolo3/model.py):
+  1. RFCR — the learned WeightedSum collect/redistribute fusion
+     (model.py:117-168) beats both a plain concat fusion (the legacy
+     scarf proto-RFCR, model_computations.py:229-319) and no fusion at
+     all (backbone taps straight to the neck).
+  2. Truncated transfer learning (model.py:219-224) — stage-1 training
+     with a frozen imported backbone, then unfreezing, beats training
+     the same architecture from random init.
+
+The reference never ships an ablation harness; its evidence is the
+paper's VOC/COCO tables, which need ImageNet weights and real datasets
+(both absent from this container). This module measures the same two
+effects in-environment on the calibrated crowded-synthetic recipe
+(tools/topk_study.py::crowded_train_cfg — the shared partial-convergence
+recipe of the accuracy gate), with the device topology pinned per run
+(see tools/accuracy_gate.py for why), evaluating both train-set fit and
+a held-out set drawn from the same generator.
+
+For the transfer ablation the "imported" backbone is a surrogate: a
+detector pretrained on a LARGER disjoint synthetic set (seed 7), whose
+backbone subtree is grafted into a fresh init — exactly the mechanism
+of `utils/keras_import.py` (which is separately bitwise-tested against
+Keras H5s) with an in-environment source of pretrained values. The
+target task is low-data (16 images) so transfer has something to do.
+Both arms get the same total target-task epoch budget (stage1 30 +
+stage2 60 vs 90 unfrozen).
+
+Usage (driver — runs every job in a pinned-topology subprocess,
+resumable via results.jsonl):
+
+    nohup python -m yoloret_tpu.tools.ablation --root /tmp/abl \
+        --seeds 0 1 > /tmp/abl.log 2>&1 &
+
+Single job (what the driver spawns; topology must be pinned by caller):
+
+    python -m yoloret_tpu.tools.ablation --job rfcr --fusion concat \
+        --seed 0 --workdir /tmp/abl/rfcr-concat-s0
+
+Results land in `<root>/results.jsonl`; the driver prints a markdown
+table at the end (paste into docs/design.md when the numbers move).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+FUSIONS = ("weighted_sum", "concat", "none")
+BACKBONE = "mobilenetv2x75"
+SIZE = 160
+BATCH = 8
+
+
+# ---------------------------------------------------------------- data
+
+
+def _datasets(workdir: str):
+    """Shared train (48 img, seed 0) + held-out (32 img, seed 3) sets —
+    same generator and distribution, disjoint draws."""
+    from yoloret_tpu.tools.topk_study import build_crowded
+
+    train_dir = os.path.join(workdir, "data")
+    held_dir = os.path.join(workdir, "heldout")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(held_dir, exist_ok=True)
+    ann, classes, anchors = build_crowded(train_dir, n=48, seed=0)
+    held_ann, _, _ = build_crowded(held_dir, n=32, seed=3)
+    return ann, held_ann, classes, anchors
+
+
+def _small_datasets(workdir: str):
+    """Low-data target task for the transfer ablation: 16 train images
+    (transfer only matters when the target task is data-poor)."""
+    from yoloret_tpu.tools.topk_study import build_crowded
+
+    train_dir = os.path.join(workdir, "data16")
+    held_dir = os.path.join(workdir, "heldout")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(held_dir, exist_ok=True)
+    ann, classes, anchors = build_crowded(train_dir, n=16, seed=0)
+    held_ann, _, _ = build_crowded(held_dir, n=32, seed=3)
+    return ann, held_ann, classes, anchors
+
+
+def _eval_map(weights: str, ann: str, anchors_path: str,
+              fusion: str = "weighted_sum") -> float:
+    from yoloret_tpu.data import Dataset, DatasetMode, load_anchors
+    from yoloret_tpu.eval import evaluate_map
+    from yoloret_tpu.infer import Predictor
+    from yoloret_tpu.tools.topk_study import CLASS_NAMES
+
+    anchors = load_anchors(anchors_path)
+    pred = Predictor(
+        backbone=BACKBONE, weights=weights, class_names=CLASS_NAMES,
+        anchors=anchors, input_hw=(SIZE, SIZE), score_threshold=0.0,
+        bf16=False, rfcr=fusion,
+    )
+    ds = Dataset(
+        ann, batch_size=BATCH, anchors=anchors,
+        num_classes=len(CLASS_NAMES), input_hw=(SIZE, SIZE),
+        mode=DatasetMode.TEST, max_boxes=12,
+    )
+    mAP, _ = evaluate_map(
+        pred.model, pred.variables, ds, anchors, CLASS_NAMES, verbose=False
+    )
+    return float(mAP)
+
+
+# ---------------------------------------------------------------- jobs
+
+
+def job_rfcr(workdir: str, fusion: str, seed: int) -> dict:
+    """One RFCR-fusion arm on the standard gate recipe (48 img, 60 ep)."""
+    from yoloret_tpu.tools.topk_study import crowded_train_cfg
+    from yoloret_tpu.train.trainer import train
+
+    ann, held_ann, classes, anchors = _datasets(workdir)
+    cfg = crowded_train_cfg(workdir, ann, classes, anchors,
+                            epochs=60, size=SIZE, batch=BATCH)
+    cfg = cfg.replace(rfcr=fusion, seed=seed)
+    weights = train(cfg)
+    return {
+        "train_mAP": round(_eval_map(weights, ann, anchors, fusion), 6),
+        "heldout_mAP": round(_eval_map(weights, held_ann, anchors, fusion), 6),
+        "weights": weights,
+    }
+
+
+def job_pretrain(workdir: str, seed: int = 7) -> dict:
+    """Surrogate 'ImageNet' source: a detector trained on a larger
+    disjoint synthetic set; only its backbone subtree is transferred."""
+    from yoloret_tpu.tools.topk_study import build_crowded, crowded_train_cfg
+    from yoloret_tpu.train.trainer import train
+
+    pre_dir = os.path.join(workdir, "pretrain_data")
+    os.makedirs(pre_dir, exist_ok=True)
+    ann, classes, anchors = build_crowded(pre_dir, n=96, seed=seed)
+    cfg = crowded_train_cfg(workdir, ann, classes, anchors,
+                            epochs=60, size=SIZE, batch=BATCH)
+    cfg = cfg.replace(seed=seed)
+    weights = train(cfg)
+    return {"weights": weights,
+            "train_mAP": round(_eval_map(weights, ann, anchors), 6)}
+
+
+def _graft_backbone(pretrained: str, seed: int, out_path: str) -> str:
+    """Fresh init with ONLY the backbone subtree replaced by the
+    pretrained values — the truncated-transfer import mechanism
+    (reference model.py:219-224 loads backbone weights by name; here the
+    'body' collection subtree), heads/RFCR/neck stay random."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoloret_tpu.nn import build_detector
+    from yoloret_tpu.tools.topk_study import CLASS_NAMES
+    from yoloret_tpu.utils.checkpoint import load_params, save_params
+
+    model = build_detector(BACKBONE, num_classes=len(CLASS_NAMES))
+    fresh = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, SIZE, SIZE, 3)), False
+    )
+    src = load_params(pretrained)
+    params = dict(fresh["params"])
+    params["body"] = jax.tree.map(jnp.asarray, src["params"]["body"])
+    stats = dict(fresh["batch_stats"])
+    if "body" in src["batch_stats"]:
+        stats["body"] = jax.tree.map(jnp.asarray, src["batch_stats"]["body"])
+    save_params(out_path, {"params": params, "batch_stats": stats})
+    return out_path
+
+
+def job_transfer(workdir: str, arm: str, seed: int, pretrained: str) -> dict:
+    """One transfer arm on the low-data target task, equal epoch budget:
+      transfer: graft pretrained backbone -> stage1 frozen 30 ep ->
+                stage2 unfrozen 60 ep (the reference's two-stage recipe,
+                code/train.py:153-216)
+      random:   random init, unfrozen, 90 ep
+    """
+    from yoloret_tpu.tools.topk_study import crowded_train_cfg
+    from yoloret_tpu.train.trainer import train
+
+    ann, held_ann, classes, anchors = _small_datasets(workdir)
+    base = crowded_train_cfg(workdir, ann, classes, anchors,
+                             epochs=60, size=SIZE, batch=BATCH)
+    if arm == "transfer":
+        graft = _graft_backbone(
+            pretrained, seed, os.path.join(workdir, "grafted_init"))
+        cfg1 = base.replace(freeze=True, model=graft, epochs=(30, 60),
+                            seed=seed)
+        stage1 = train(cfg1)
+        cfg2 = base.replace(freeze=False, train_unfreeze=stage1,
+                            epochs=(30, 60), seed=seed)
+        weights = train(cfg2)
+    elif arm == "random":
+        cfg = base.replace(freeze=False, epochs=(90, 90), seed=seed)
+        weights = train(cfg)
+    else:
+        raise ValueError(f"unknown arm {arm!r}")
+    return {
+        "train_mAP": round(_eval_map(weights, ann, anchors), 6),
+        "heldout_mAP": round(_eval_map(weights, held_ann, anchors), 6),
+        "weights": weights,
+    }
+
+
+# -------------------------------------------------------------- driver
+
+
+def _pinned_env() -> dict:
+    """Single XLA CPU device, no axon plugin — the calibration topology
+    (training numerics depend on device topology; accuracy_gate.py)."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    return env
+
+
+def _run_job(root: str, job_id: str, extra_args: list) -> dict:
+    workdir = os.path.join(root, job_id)
+    os.makedirs(workdir, exist_ok=True)
+    cmd = [sys.executable, "-m", "yoloret_tpu.tools.ablation",
+           "--workdir", workdir] + extra_args
+    print(f"[ablation] {job_id}: {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, env=_pinned_env(), capture_output=True,
+                          text=True, timeout=3 * 3600)
+    tail = proc.stdout[-2000:] + proc.stderr[-2000:]
+    if proc.returncode != 0:
+        raise RuntimeError(f"job {job_id} failed:\n{tail}")
+    lines = [l for l in proc.stdout.splitlines()
+             if l.startswith("ABLATION_RESULT ")]
+    if not lines:
+        raise RuntimeError(f"job {job_id} printed no result:\n{tail}")
+    return json.loads(lines[-1][len("ABLATION_RESULT "):])
+
+
+def load_results(root: str) -> dict:
+    path = os.path.join(root, "results.jsonl")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    out[rec["id"]] = rec
+    return out
+
+
+def _record(root: str, rec: dict) -> None:
+    with open(os.path.join(root, "results.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def drive(root: str, seeds: list) -> dict:
+    os.makedirs(root, exist_ok=True)
+    done = load_results(root)
+
+    def need(job_id: str, args: list) -> dict:
+        if job_id in done:
+            print(f"[ablation] {job_id}: cached", flush=True)
+            return done[job_id]
+        res = _run_job(root, job_id, args)
+        rec = {"id": job_id, **res}
+        _record(root, rec)
+        done[job_id] = rec
+        print(f"[ablation] {job_id}: {res}", flush=True)
+        return rec
+
+    # (a) RFCR fusion ablation
+    for seed in seeds:
+        for fusion in FUSIONS:
+            need(f"rfcr-{fusion}-s{seed}",
+                 ["--job", "rfcr", "--fusion", fusion, "--seed", str(seed)])
+    # (b) truncated transfer vs random init
+    pre = need("pretrain-s7", ["--job", "pretrain", "--seed", "7"])
+    for seed in seeds:
+        for arm in ("transfer", "random"):
+            need(f"transfer-{arm}-s{seed}",
+                 ["--job", "transfer", "--arm", arm, "--seed", str(seed),
+                  "--pretrained", pre["weights"]])
+
+    print(render_table(done, seeds))
+    return done
+
+
+def render_table(done: dict, seeds: list) -> str:
+    import numpy as np
+
+    lines = ["", "## RFCR fusion ablation (48-img crowded synthetic, 60 ep)",
+             "", "| fusion | train mAP (per seed) | held-out mAP (per seed) |",
+             "|---|---|---|"]
+    for fusion in FUSIONS:
+        tr = [done[f"rfcr-{fusion}-s{s}"]["train_mAP"] for s in seeds
+              if f"rfcr-{fusion}-s{s}" in done]
+        he = [done[f"rfcr-{fusion}-s{s}"]["heldout_mAP"] for s in seeds
+              if f"rfcr-{fusion}-s{s}" in done]
+        if tr:
+            lines.append(
+                f"| {fusion} | {np.mean(tr):.4f} ({', '.join(f'{v:.4f}' for v in tr)}) "
+                f"| {np.mean(he):.4f} ({', '.join(f'{v:.4f}' for v in he)}) |")
+    lines += ["", "## Truncated transfer vs random init (16-img target, "
+              "equal 90-ep budget)", "",
+              "| arm | train mAP (per seed) | held-out mAP (per seed) |",
+              "|---|---|---|"]
+    for arm in ("transfer", "random"):
+        tr = [done[f"transfer-{arm}-s{s}"]["train_mAP"] for s in seeds
+              if f"transfer-{arm}-s{s}" in done]
+        he = [done[f"transfer-{arm}-s{s}"]["heldout_mAP"] for s in seeds
+              if f"transfer-{arm}-s{s}" in done]
+        if tr:
+            lines.append(
+                f"| {arm} | {np.mean(tr):.4f} ({', '.join(f'{v:.4f}' for v in tr)}) "
+                f"| {np.mean(he):.4f} ({', '.join(f'{v:.4f}' for v in he)}) |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--job", choices=["rfcr", "pretrain", "transfer"],
+                   default=None, help="run one job in-process (driver "
+                   "mode when omitted)")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--fusion", choices=list(FUSIONS), default="weighted_sum")
+    p.add_argument("--arm", choices=["transfer", "random"], default="transfer")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--root", default="/tmp/yoloret_ablation")
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    a = p.parse_args(argv)
+
+    if a.job is None:
+        drive(a.root, a.seeds)
+        return
+    assert a.workdir, "--workdir required for a single job"
+    if a.job == "rfcr":
+        res = job_rfcr(a.workdir, a.fusion, a.seed)
+    elif a.job == "pretrain":
+        res = job_pretrain(a.workdir, a.seed)
+    else:
+        assert a.pretrained, "--pretrained required for transfer jobs"
+        res = job_transfer(a.workdir, a.arm, a.seed, a.pretrained)
+    print("ABLATION_RESULT " + json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,7 +141,7 @@ def train(cfg: RunConfig) -> str:
     model = build_detector(
         cfg.backbone, num_classes=num_classes,
         dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
-        remat=cfg.remat,
+        remat=cfg.remat, rfcr=cfg.rfcr,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     variables = model.init(
@@ -269,9 +269,18 @@ def train(cfg: RunConfig) -> str:
     def _eval_map(epoch: int) -> float:
         from yoloret_tpu.eval import evaluate_map
 
+        # With --use_ema the evaluated (and stage-end saved) weights are
+        # the EMA copy — the intended consumption of the reference's
+        # ExponentialMovingAverage (code/yolo3/train.py:42-45, which
+        # maintains the average but never reads it back).
+        eval_params = (
+            state.ema_params
+            if cfg.use_ema and state.ema_params is not None
+            else state.params
+        )
         mAP, _ = evaluate_map(
             model,
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": eval_params, "batch_stats": state.batch_stats},
             map_ds, anchors, class_names,
             nms_iou=cfg.nms_iou, verbose=False, mesh=mesh,
         )
