@@ -131,6 +131,42 @@ def job_rfcr(workdir: str, fusion: str, seed: int) -> dict:
     }
 
 
+def job_ema(workdir: str, seed: int) -> dict:
+    """Gate recipe with --use_ema: measures what evaluating the EMA copy
+    buys over the raw params (the reference maintains the average but
+    never consumes it, code/yolo3/train.py:42-45)."""
+    from yoloret_tpu.data import Dataset, DatasetMode, load_anchors
+    from yoloret_tpu.eval import evaluate_map
+    from yoloret_tpu.infer import Predictor
+    from yoloret_tpu.tools.topk_study import CLASS_NAMES, crowded_train_cfg
+    from yoloret_tpu.train.trainer import train
+
+    ann, held_ann, classes, anchors_path = _datasets(workdir)
+    cfg = crowded_train_cfg(workdir, ann, classes, anchors_path,
+                            epochs=60, size=SIZE, batch=BATCH)
+    cfg = cfg.replace(use_ema=True, seed=seed)
+    weights = train(cfg)
+
+    anchors = load_anchors(anchors_path)
+    out = {"weights": weights}
+    for name, use_ema in (("raw", False), ("ema", True)):
+        pred = Predictor(
+            backbone=BACKBONE, weights=weights, class_names=CLASS_NAMES,
+            anchors=anchors, input_hw=(SIZE, SIZE), score_threshold=0.0,
+            bf16=False, use_ema=use_ema,
+        )
+        for tag, a in (("train", ann), ("heldout", held_ann)):
+            ds = Dataset(
+                a, batch_size=BATCH, anchors=anchors,
+                num_classes=len(CLASS_NAMES), input_hw=(SIZE, SIZE),
+                mode=DatasetMode.TEST, max_boxes=12,
+            )
+            mAP, _ = evaluate_map(pred.model, pred.variables, ds, anchors,
+                                  CLASS_NAMES, verbose=False)
+            out[f"{name}_{tag}_mAP"] = round(float(mAP), 6)
+    return out
+
+
 def job_pretrain(workdir: str, seed: int = 7) -> dict:
     """Surrogate 'ImageNet' source: a detector trained on a larger
     disjoint synthetic set; only its backbone subtree is transferred."""
@@ -276,6 +312,8 @@ def drive(root: str, seeds: list) -> dict:
         for fusion in FUSIONS:
             need(f"rfcr-{fusion}-s{seed}",
                  ["--job", "rfcr", "--fusion", fusion, "--seed", str(seed)])
+    # EMA consumption: one seed is enough for the headline number
+    need("ema-s0", ["--job", "ema", "--seed", "0"])
     # (b) truncated transfer vs random init
     pre = need("pretrain-s7", ["--job", "pretrain", "--seed", "7"])
     for seed in seeds:
@@ -303,6 +341,12 @@ def render_table(done: dict, seeds: list) -> str:
             lines.append(
                 f"| {fusion} | {np.mean(tr):.4f} ({', '.join(f'{v:.4f}' for v in tr)}) "
                 f"| {np.mean(he):.4f} ({', '.join(f'{v:.4f}' for v in he)}) |")
+    if "ema-s0" in done:
+        e = done["ema-s0"]
+        lines += ["", "## EMA consumption (gate recipe, --use_ema, seed 0)",
+                  "", "| weights | train mAP | held-out mAP |", "|---|---|---|",
+                  f"| raw | {e['raw_train_mAP']:.4f} | {e['raw_heldout_mAP']:.4f} |",
+                  f"| EMA | {e['ema_train_mAP']:.4f} | {e['ema_heldout_mAP']:.4f} |"]
     lines += ["", "## Truncated transfer vs random init (16-img target, "
               "equal 90-ep budget)", "",
               "| arm | train mAP (per seed) | held-out mAP (per seed) |",
@@ -321,7 +365,7 @@ def render_table(done: dict, seeds: list) -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--job", choices=["rfcr", "pretrain", "transfer"],
+    p.add_argument("--job", choices=["rfcr", "ema", "pretrain", "transfer"],
                    default=None, help="run one job in-process (driver "
                    "mode when omitted)")
     p.add_argument("--workdir", default=None)
@@ -339,6 +383,8 @@ def main(argv=None):
     assert a.workdir, "--workdir required for a single job"
     if a.job == "rfcr":
         res = job_rfcr(a.workdir, a.fusion, a.seed)
+    elif a.job == "ema":
+        res = job_ema(a.workdir, a.seed)
     elif a.job == "pretrain":
         res = job_pretrain(a.workdir, a.seed)
     else:

@@ -72,14 +72,54 @@ def run(workdir: str | None = None, epochs: int = 60, size: int = 160,
     return result
 
 
+def run_loss_trace(workdir: str | None = None, epochs: int = 3,
+                   size: int = 160, batch: int = 8) -> dict:
+    """The FAST tight gate: train the same recipe for a few epochs and
+    print the per-epoch mean loss trace. On the pinned topology this is
+    reproducible to float-rounding, so the companion test
+    (tests/test_accuracy_gate.py::test_loss_trace_pinned) asserts it to
+    rtol 1e-6 — catching real numerics regressions the wide 60-epoch mAP
+    band cannot (that band is ±0.09 wide because partial convergence
+    amplifies perturbations chaotically; the 3-epoch trace has no such
+    amplification). NB: epochs is part of the recipe — the cosine LR
+    schedule spans it."""
+    import json as _json
+    import os
+
+    from yoloret_tpu.tools.topk_study import build_crowded, crowded_train_cfg
+    from yoloret_tpu.train.trainer import train
+
+    workdir = workdir or tempfile.mkdtemp(prefix="yoloret_losstrace_")
+    ann, classes, anchors_path = build_crowded(workdir)
+    cfg = crowded_train_cfg(workdir, ann, classes, anchors_path,
+                            epochs=epochs, size=size, batch=batch)
+    train(cfg)
+    metrics_path = os.path.join(
+        cfg.log_dir, f"{cfg.backbone}_stage2", "metrics.jsonl")
+    losses = [
+        rec["loss"] for rec in map(_json.loads, open(metrics_path))
+        if "loss" in rec
+    ]
+    result = {"losses": losses, "epochs": epochs}
+    print("GATE_LOSS_TRACE " + _json.dumps(result), flush=True)
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default=None)
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--size", type=int, default=160)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--loss_trace", action="store_true",
+                   help="fast tight gate: N-epoch loss trace instead of "
+                        "the full 60-epoch mAP run")
     a = p.parse_args(argv)
-    run(workdir=a.workdir, epochs=a.epochs, size=a.size, batch=a.batch)
+    if a.loss_trace:
+        run_loss_trace(workdir=a.workdir, epochs=a.epochs, size=a.size,
+                       batch=a.batch)
+    else:
+        run(workdir=a.workdir, epochs=a.epochs, size=a.size, batch=a.batch)
 
 
 if __name__ == "__main__":
