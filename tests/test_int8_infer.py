@@ -189,3 +189,26 @@ def test_int8_rejects_other_backbones():
     variables = model.init(jax.random.PRNGKey(0), x, False)
     with pytest.raises(AssertionError):
         int8_detector_apply(model, variables, {}, x)
+
+
+def test_int8_folded_epilogue_matches_legacy():
+    """Scale-folded requant epilogues (_requant_folded: compute in
+    output-scale units, one fewer VPU multiply per element) are the same
+    math as the legacy dequant->act->requant chain — bitwise on CPU; a
+    tiny off-by-one requant-rounding fraction is tolerated for other
+    backends."""
+    from yoloret_tpu.nn.int8_infer import mobilenetv2_int8_features
+
+    model = build_detector("mobilenetv2x75", num_classes=3)
+    variables = _variables(model)
+    rng = np.random.RandomState(0)
+    qp = quantize_from_data(
+        model, variables, rng.rand(8, 96, 96, 3).astype(np.float32))
+    x = jnp.asarray(rng.rand(2, 96, 96, 3).astype(np.float32))
+    legacy = mobilenetv2_int8_features(qp, x, dtype=jnp.float32)
+    folded = mobilenetv2_int8_features(qp, x, dtype=jnp.float32, folded=True)
+    for k in legacy:
+        a, b = np.asarray(legacy[k]), np.asarray(folded[k])
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() <= 0.05 * scale, k
+        assert np.mean(np.abs(a - b) > 1e-9) < 0.01, k

@@ -32,7 +32,7 @@ tools/int8_study.py (same harness as the TFLite path).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -206,21 +206,60 @@ def _act(y: jnp.ndarray, kind: str) -> jnp.ndarray:
     raise ValueError(kind)
 
 
-def _int8_block(xq: jnp.ndarray, blk: Dict[str, Any]) -> jnp.ndarray:
+def _requant_folded(acc: jnp.ndarray, deq: jnp.ndarray, bias: jnp.ndarray,
+                    out_s: float, act: Optional[str],
+                    extra: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Scale-folded requant epilogue: compute directly in OUTPUT-scale
+    units so the separate ``* (1/out_s)`` full-tensor multiply of the
+    legacy chain disappears (one fewer VPU op per element on the
+    expanded tensors — the round-3 roofline blamed the epilogues for
+    int8 reaching only 70% of its own HBM roof, docs/design.md).
+
+    relu6 commutes with positive rescaling as clip(x/s, 0, 6/s); swish
+    does not, so EfficientNet keeps the legacy chain. ``extra`` is a
+    pre-scaled residual term added before rounding."""
+    inv = 1.0 / out_s
+    y = acc.astype(jnp.float32) * (deq * inv) + bias * inv
+    if extra is not None:
+        y = y + extra
+    if act == "relu6":
+        y = jnp.clip(y, 0.0, 6.0 * inv)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def _int8_block(xq: jnp.ndarray, blk: Dict[str, Any],
+                folded: bool = False) -> jnp.ndarray:
     """One quantized MBConv / inverted-residual block. Every tensor
     between convs is int8; dequant -> act -> (SE scale) -> requant
     chains are f32 elementwise that XLA fuses into the conv epilogues.
-    ``blk`` schema: see ``quantize_mobilenetv2`` /
+    ``folded=True`` switches the relu6/linear epilogues to the
+    scale-folded form (see ``_requant_folded``; same math, one fewer
+    multiply). ``blk`` schema: see ``quantize_mobilenetv2`` /
     ``quantize_efficientnet``."""
     act = blk.get("act", "relu6")
+    use_fold = folded and act == "relu6" and "se_reduce_w" not in blk
     y = xq
     if "we_q" in blk:
         e = _conv_i8(y, blk["we_q"])
-        e = _act(e.astype(jnp.float32) * blk["e_deq"] + blk["e_bias"], act)
-        y = _q(e, blk["e_s"])
+        if use_fold:
+            y = _requant_folded(e, blk["e_deq"], blk["e_bias"],
+                                blk["e_s"], act)
+        else:
+            e = _act(e.astype(jnp.float32) * blk["e_deq"] + blk["e_bias"],
+                     act)
+            y = _q(e, blk["e_s"])
     ce = blk["wd_q"].shape[-1]
     st = blk["stride"]
     d = _conv_i8(y, blk["wd_q"], (st, st), "SAME", fgc=ce)
+    if use_fold:
+        d_q = _requant_folded(d, blk["d_deq"], blk["d_bias"],
+                              blk["d_s"], act)
+        p = _conv_i8(d_q, blk["wp_q"])
+        extra = None
+        if blk["residual"]:
+            extra = xq.astype(jnp.float32) * (blk["in_s"] / blk["out_s"])
+        return _requant_folded(p, blk["p_deq"], blk["p_bias"],
+                               blk["out_s"], None, extra=extra)
     d = _act(d.astype(jnp.float32) * blk["d_deq"] + blk["d_bias"], act)
     y = _q(d, blk["d_s"])
     if "se_reduce_w" in blk:
@@ -459,10 +498,12 @@ def mobilenetv2_int8_features(
     qp: Dict[str, Any],
     x: jnp.ndarray,
     dtype: Any = jnp.bfloat16,
+    folded: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Pyramid features {c2..c5} (dequantized to ``dtype``) with the
     whole backbone conv chain crossing HBM as int8. ``x``: [B,H,W,3]
-    float in [0,1]."""
+    float in [0,1]. ``folded``: scale-folded requant epilogues
+    (``_requant_folded``)."""
     st = qp["stem"]
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), st["kernel"].astype(dtype), (2, 2), "SAME",
@@ -471,7 +512,7 @@ def mobilenetv2_int8_features(
     xq = _q(y, st["out_s"])
     feats: Dict[str, jnp.ndarray] = {}
     for bid, blk in enumerate(qp["blocks"]):
-        xq = _int8_block(xq, blk)
+        xq = _int8_block(xq, blk, folded=folded)
         if bid in _TAP_BLOCKS:
             feats[_TAP_BLOCKS[bid]] = (
                 xq.astype(jnp.float32) * blk["out_s"]).astype(dtype)
@@ -483,12 +524,14 @@ def int8_detector_apply(
     variables: Dict[str, Any],
     qp: Dict[str, Any],
     images: jnp.ndarray,
+    folded: bool = False,
 ):
     """Inference forward matching ``model.apply(variables, images,
     False)`` with the backbone on the int8 path (RFCR + neck stay on
     the stock bf16 modules). ``images``: [B,H,W,3] float in [0,1]."""
     if model.backbone in _ALPHAS:
-        feats = mobilenetv2_int8_features(qp, images, dtype=model.dtype)
+        feats = mobilenetv2_int8_features(qp, images, dtype=model.dtype,
+                                          folded=folded)
     elif model.backbone.startswith("efficientnetb"):
         feats = efficientnet_int8_features(qp, images, dtype=model.dtype)
     else:

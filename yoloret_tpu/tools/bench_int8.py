@@ -74,10 +74,36 @@ def main():
         x = x.astype(jnp.float32) * (1.0 / 255.0)
         return int8_detector_apply(model, variables, qp, x)
 
+    # Round-4 epilogue attack (VERDICT #3): scale-folded requant
+    # epilogues (one fewer VPU multiply per element on every expanded
+    # tensor) and bf16 input normalization (skips any f32 [B,H,W,3]
+    # materialization before the stem's own bf16 cast).
+    def int8_folded(x):
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return post(int8_detector_apply(model, variables, qp, x,
+                                        folded=True))
+
+    def int8_model_folded(x):
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return int8_detector_apply(model, variables, qp, x, folded=True)
+
+    def int8_folded_bf16norm(x):
+        x = x.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        return post(int8_detector_apply(model, variables, qp, x,
+                                        folded=True))
+
+    def stock_bf16norm(x, v):
+        x = x.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)
+        return post(model.apply(v, x, False))
+
     kind, pf, pb = chip_peaks()
     cases = dict(stock=(stock, (imgs, variables)),
                  int8=(int8, (imgs,)),
-                 int8_model=(int8_model, (imgs,)))
+                 int8_model=(int8_model, (imgs,)),
+                 int8_folded=(int8_folded, (imgs,)),
+                 int8_model_folded=(int8_model_folded, (imgs,)),
+                 int8_folded_bf16norm=(int8_folded_bf16norm, (imgs,)),
+                 stock_bf16norm=(stock_bf16norm, (imgs, variables)))
     for name in a.stages.split(","):
         fn, args = cases[name]
         print(f"{name}: compiling...", file=sys.stderr, flush=True)
