@@ -524,11 +524,15 @@ def int8_detector_apply(
     variables: Dict[str, Any],
     qp: Dict[str, Any],
     images: jnp.ndarray,
-    folded: bool = False,
+    folded: bool = True,
 ):
     """Inference forward matching ``model.apply(variables, images,
     False)`` with the backbone on the int8 path (RFCR + neck stay on
-    the stock bf16 modules). ``images``: [B,H,W,3] float in [0,1]."""
+    the stock bf16 modules). ``images``: [B,H,W,3] float in [0,1].
+    ``folded`` (default on) uses the scale-folded requant epilogues —
+    bitwise-equal to the legacy chain and measured +3.3% pipeline
+    throughput (docs/design.md int8 table); only relu6/linear blocks
+    fold, swish/SE blocks fall back automatically."""
     if model.backbone in _ALPHAS:
         feats = mobilenetv2_int8_features(qp, images, dtype=model.dtype,
                                           folded=folded)
