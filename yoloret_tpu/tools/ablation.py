@@ -211,18 +211,23 @@ def _graft_backbone(pretrained: str, seed: int, out_path: str) -> str:
 
 
 def job_transfer(workdir: str, arm: str, seed: int, pretrained: str) -> dict:
-    """One transfer arm on the low-data target task, equal epoch budget:
+    """One transfer arm on the low-data target task, equal STEP budget:
       transfer: graft pretrained backbone -> stage1 frozen 30 ep ->
                 stage2 unfrozen 60 ep (the reference's two-stage recipe,
                 code/train.py:153-216)
       random:   random init, unfrozen, 90 ep
-    """
+    Batch is 4 (not the gate's 8): 16 images at batch 8 is 2 steps/epoch
+    — 1/3 of the gate recipe's 360-step budget at equal epochs, which
+    measured as pure underfitting (both arms stall at ~5x the gate's
+    final loss, mAP 0.0). Batch 4 gives 4 steps/epoch, so the 90-epoch
+    budget is 360 steps — step-equal to the gate recipe AND between
+    arms."""
     from yoloret_tpu.tools.topk_study import crowded_train_cfg
     from yoloret_tpu.train.trainer import train
 
     ann, held_ann, classes, anchors = _small_datasets(workdir)
     base = crowded_train_cfg(workdir, ann, classes, anchors,
-                             epochs=60, size=SIZE, batch=BATCH)
+                             epochs=60, size=SIZE, batch=4)
     if arm == "transfer":
         graft = _graft_backbone(
             pretrained, seed, os.path.join(workdir, "grafted_init"))
