@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class_loss", type=str, choices=["bce", "focal"])
     p.add_argument("--use_adv", action="store_true")
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_decay", type=float,
+                   help="EMA decay (default 0.9999, the reference's "
+                        "hard-coded horizon; match ~1-10/total_steps on "
+                        "short schedules or the average never warms up)")
     p.add_argument("--rfcr", type=str,
                    choices=["weighted_sum", "concat", "none"],
                    help="RFCR fusion: the paper's WeightedSum (default), "
@@ -135,7 +139,7 @@ def args_to_config(args) -> RunConfig:
     for f in (
         "backbone input_size num_scales model train_dataset val_dataset "
         "test_dataset classes_path anchors_path batch_size box_loss class_loss use_adv "
-        "use_ema resume truncate_block score_threshold nms_iou exact_nms "
+        "use_ema ema_decay resume truncate_block score_threshold nms_iou exact_nms "
         "autoaugment_policy "
         "log_dir opt seed "
         "early_stopping early_stopping_patience map_every tb_images "

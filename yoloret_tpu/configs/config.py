@@ -100,6 +100,11 @@ class RunConfig:
     ignore_thresh: float = 0.5
     use_adv: bool = False
     use_ema: bool = False
+    ema_decay: float = 0.9999  # reference train.py:42-45 hard-codes
+    # 0.9999 (horizon ~10k steps). On short schedules that average never
+    # warms up (round-4 measurement: -0.01 mAP on a 360-step run); match
+    # the decay horizon to the schedule — decay ~ 1 - 10/total_steps —
+    # for the average to help (measured: docs/design.md EMA table).
     rfcr: str = "weighted_sum"  # RFCR fusion — the paper's ablation axis
     # (reference code/yolo3/model.py:117-168): 'weighted_sum' (the
     # contribution), 'concat' (the legacy scarf proto-RFCR), 'none'

@@ -242,10 +242,13 @@ class Predictor:
         out: List[List[Detection]] = []
         pending: deque = deque()
         for chunk in chunks:
-            pending.append((len(chunk), self._dispatch_chunk(chunk)))
-            if len(pending) > self.inflight_chunks:
+            if len(pending) >= self.inflight_chunks:
+                # Collect the oldest (long since dispatched, usually
+                # done) BEFORE dispatching the next, so at most
+                # inflight_chunks chunks are ever in flight.
                 n, res = pending.popleft()
                 out.extend(self._collect_chunk(n, res))
+            pending.append((len(chunk), self._dispatch_chunk(chunk)))
         while pending:
             n, res = pending.popleft()
             out.extend(self._collect_chunk(n, res))

@@ -530,7 +530,10 @@ def int8_detector_apply(
     False)`` with the backbone on the int8 path (RFCR + neck stay on
     the stock bf16 modules). ``images``: [B,H,W,3] float in [0,1].
     ``folded`` (default on) uses the scale-folded requant epilogues —
-    bitwise-equal to the legacy chain and measured +3.3% pipeline
+    numerically equivalent to the legacy dequant→act→requant chain up
+    to 1-LSB requant rounding (the f32 dequant math is reassociated,
+    which can flip values at round() boundaries; the equivalence test
+    bounds the differing fraction) and measured +3.3% pipeline
     throughput (docs/design.md int8 table); only relu6/linear blocks
     fold, swish/SE blocks fall back automatically."""
     if model.backbone in _ALPHAS:

@@ -100,6 +100,9 @@ def run_loss_trace(workdir: str | None = None, epochs: int = 3,
         rec["loss"] for rec in map(_json.loads, open(metrics_path))
         if "loss" in rec
     ]
+    # The trainer appends to metrics.jsonl: a reused --workdir carries
+    # records from prior runs, so keep only this run's tail.
+    losses = losses[-epochs:]
     result = {"losses": losses, "epochs": epochs}
     print("GATE_LOSS_TRACE " + _json.dumps(result), flush=True)
     return result

@@ -75,9 +75,17 @@ def hlo_collective_bytes(hlo_text: str) -> Dict[str, int]:
             if re.search(rf"\b{op}(?:-start)?\(", rhs):
                 # shapes before the op name = the result shape(s)
                 head = rhs.split(op)[0]
-                for dt, dims in shape_re.findall(head):
-                    if dt not in _DTYPE_BYTES:
-                        continue
+                shapes = [s for s in shape_re.findall(head)
+                          if s[0] in _DTYPE_BYTES]
+                # Async "-start" results are a tuple carrying BOTH the
+                # operand-alias buffers and the output buffers —
+                # (op_1..op_k, out_1..out_k) — so counting every shape
+                # would double the bytes.  Keep only the output half.
+                # (Sync collectives, which the CPU SPMD partitioner
+                # emits, list the outputs alone and are unaffected.)
+                if re.search(rf"\b{op}-start\(", rhs):
+                    shapes = shapes[len(shapes) // 2:]
+                for dt, dims in shapes:
                     n = 1
                     for d in dims.split(","):
                         if d:
@@ -237,6 +245,33 @@ def project_v5e8(collective_bytes: float,
             "projected_img_per_s": n * 128 / (step_ms + ar_ms) * 1e3}
 
 
+# Measured single-chip serving call, b128@320 uint8 pipeline
+# (STATUS.md round 4: 8.2 ms chip-side latency per b128 call).
+MEASURED_SERVE_MS_B128 = 8.2
+# Per-hop ICI message latency assumption for the latency-path
+# projection (order-1 us on v4/v5e class interconnects; stated, not
+# measured — no multi-chip hardware here).
+V5E_ICI_HOP_US = 1.0
+
+
+def project_serving_latency(collective_bytes: float,
+                            chip_ms: float = MEASURED_SERVE_MS_B128,
+                            n: int = 8) -> dict:
+    """Projected mesh-n per-REQUEST latency cost of the DP serving
+    all-gather (it sits on the critical path of every request, unlike
+    the train all-reduce which overlaps the backward pass): ring
+    all-gather bandwidth term (n-1)/n * bytes / ICI_BW plus (n-1)
+    per-hop latencies.  ``collective_bytes`` is the program-total
+    gathered result size."""
+    if n <= 1:
+        ag_ms = 0.0
+    else:
+        ag_ms = ((n - 1) / n * collective_bytes / (V5E_ICI_GBPS * 1e9)
+                 + (n - 1) * V5E_ICI_HOP_US * 1e-6) * 1e3
+    return {"allgather_ms": ag_ms, "chip_ms": chip_ms,
+            "latency_overhead_pct": 100.0 * ag_ms / chip_ms}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sizes", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -264,6 +299,14 @@ def main(argv=None):
           f"{proj['step_ms']:.1f} ms -> efficiency >= "
           f"{proj['efficiency_lower_bound'] * 100:.2f}%, projected "
           f"{proj['projected_img_per_s']:.0f} img/s at 8x b128")
+
+    serve_total = sum(last["serve_collective_bytes"].values())
+    sproj = project_serving_latency(serve_total)
+    print(f"\nProjected mesh-8 serving latency cost (result all-gather "
+          f"on the request critical path, {V5E_ICI_HOP_US:.0f} us/hop):")
+    print(f"  all-gather {sproj['allgather_ms'] * 1e3:.1f} us vs chip "
+          f"{sproj['chip_ms']:.1f} ms/call -> "
+          f"+{sproj['latency_overhead_pct']:.3f}% per-request latency")
     return rows
 
 

@@ -185,6 +185,7 @@ def train(cfg: RunConfig) -> str:
         class_loss_kind=cfg.class_loss,
         backbone_train=not cfg.freeze,
         use_adv=cfg.use_adv,
+        ema_decay=cfg.ema_decay,
     )
     jit_train = jax.jit(
         partial(train_step, cfg=step_cfg),
