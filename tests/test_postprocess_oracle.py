@@ -258,3 +258,35 @@ def test_split_stages_match_fused_detect_batch(rng):
             np.asarray(getattr(fused, name)), np.asarray(getattr(split, name)),
             err_msg=name,
         )
+
+
+def test_bf16_heads_candidates_bitwise_vs_precast(rng):
+    """Round-5 byte diet: shared_pool_candidates keeps the HEAD dtype in
+    its [B, N, 5+C] concat and casts f32 only after the top-M gather.
+    For bf16 heads that must be BITWISE what force-casting the heads to
+    f32 up front (the round-<=4 layout) produced: f32(bf16) is exact and
+    max is monotone under the cast, so every value and every ranking is
+    unchanged while the dominant materialization moves half the bytes."""
+    import jax
+
+    from yoloret_tpu.ops import shared_pool_candidates
+
+    H = W = 96
+    B, C = 3, 4
+    outputs_bf16 = [
+        jnp.asarray((rng.randn(B, H // s, W // s, 3, 5 + C) * 1.5)
+                    .astype(np.float32)).astype(jnp.bfloat16)
+        for s in (32, 16, 8)
+    ]
+    outputs_f32 = [o.astype(jnp.float32) for o in outputs_bf16]
+    hw = jnp.asarray([[150.0, 200.0], [96.0, 96.0], [300.0, 40.0]], jnp.float32)
+    fn = jax.jit(
+        lambda outs, h: shared_pool_candidates(
+            outs, jnp.asarray(ANCHORS), C, h, num_candidates=64,
+            approx_topk=False)
+    )
+    boxes_b, scores_b = fn(tuple(outputs_bf16), hw)
+    boxes_f, scores_f = fn(tuple(outputs_f32), hw)
+    assert boxes_b.dtype == jnp.float32 and scores_b.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(boxes_b), np.asarray(boxes_f))
+    np.testing.assert_array_equal(np.asarray(scores_b), np.asarray(scores_f))

@@ -126,6 +126,11 @@ class Predictor:
             num_classes=len(self.class_names),
             dtype=jnp.bfloat16 if bf16 else jnp.float32,
             rfcr=rfcr,
+            # Keep heads in the compute dtype: every postprocess path
+            # casts f32 on consumption (bitwise-equal to casting here —
+            # nn/detector.py head_dtype), skipping an [B, N, 5+C] f32
+            # materialization per batch on the serving hot path.
+            head_dtype=None,
         )
         self.variables = self.model.init(
             jax.random.PRNGKey(seed), jnp.zeros((1, *self.input_hw, 3)), False

@@ -58,6 +58,15 @@ class YoloReT(nn.Module):
     # directly — the paper's no-RFCR baseline). Measured deltas:
     # tools/ablation.py, table in docs/design.md.
     dtype: Any = jnp.float32
+    head_dtype: Any = jnp.float32  # storage dtype of the returned heads.
+    # Default f32 preserves the "decode/loss math is f32" contract for
+    # the training path. Inference paths pass ``head_dtype=None`` (keep
+    # the compute dtype): every postprocess consumer casts f32 on
+    # consumption, which is BITWISE what casting here produced — the
+    # conv already rounded to bf16 — while skipping an [B, N, 5+C] f32
+    # materialization (80 MB at b128@320) on the serving/MAP hot path
+    # (round-5 byte diet; tests/test_postprocess_oracle.py locks the
+    # bitwise claim).
 
     def setup(self):
         kind, kw = BACKBONES[self.backbone]
@@ -128,8 +137,10 @@ class YoloReT(nn.Module):
         def split(y):
             b, gh, gw, _ = y.shape
             y = y.reshape(b, gh, gw, self.num_anchors, 5 + self.num_classes)
-            # Decode/loss math runs in f32 regardless of compute dtype.
-            return y.astype(jnp.float32)
+            # Decode/loss math runs in f32 regardless of compute dtype;
+            # head_dtype=None keeps the compute dtype and defers the f32
+            # cast to the consumer (bitwise-equal, see class docstring).
+            return y if self.head_dtype is None else y.astype(self.head_dtype)
 
         return split(y1), split(y2), split(y3)
 
@@ -141,7 +152,11 @@ def build_detector(
     dtype: Any = jnp.float32,
     remat: bool = False,
     rfcr: str = "weighted_sum",
+    head_dtype: Any = jnp.float32,
 ) -> YoloReT:
+    """``head_dtype=None`` keeps the heads in the compute dtype (the
+    inference-path byte diet, see YoloReT.head_dtype); the f32 default
+    is the training/loss contract."""
     if backbone not in BACKBONES:
         raise ValueError(f"unknown backbone {backbone!r}; options: {sorted(BACKBONES)}")
     if rfcr not in ("weighted_sum", "concat", "none"):
@@ -155,4 +170,5 @@ def build_detector(
         remat=remat,
         rfcr_fusion=rfcr,
         dtype=dtype,
+        head_dtype=head_dtype,
     )

@@ -443,20 +443,31 @@ def shared_pool_candidates(
     # per-scale gathers to cut the concat's HBM copy — measured SLOWER
     # (15.0k vs 15.6k img/s at the b128/u8 serving config; XLA's
     # program for the 3-way gather+select moved MORE bytes). Kept flat.
+    #
+    # Byte diet (round 5): the concat keeps the HEAD dtype instead of
+    # force-casting to f32 — bf16 heads carry no extra information, so
+    # casting AFTER the M-row gather is bitwise-identical (f32(bf16) is
+    # exact, max is monotone under the cast) while the dominant [B, N,
+    # 5+C] materialization + rank-reduction read move half the bytes.
+    # Ranking sigmoids still run in f32 on the [B, N] reductions.
+    dt = jnp.result_type(*[o.dtype for o in outputs])
     raw_flat = jnp.concatenate(
-        [o.astype(jnp.float32).reshape(b, -1, o.shape[-1]) for o in outputs], axis=1
-    )  # [B, N, 5+C]
+        [o.astype(dt).reshape(b, -1, o.shape[-1]) for o in outputs], axis=1
+    )  # [B, N, 5+C], head dtype
     n = raw_flat.shape[1]
     m = min(num_candidates, n)
 
-    best_logit = jnp.max(raw_flat[..., 5:], axis=-1)  # [B, N]
-    shared_score = jax.nn.sigmoid(raw_flat[..., 4]) * jax.nn.sigmoid(best_logit)
+    best_logit = jnp.max(raw_flat[..., 5:], axis=-1).astype(jnp.float32)  # [B, N]
+    obj_logit = raw_flat[..., 4].astype(jnp.float32)
+    shared_score = jax.nn.sigmoid(obj_logit) * jax.nn.sigmoid(best_logit)
     if approx_topk and m < n:
         _, idx = jax.lax.approx_max_k(shared_score, m, recall_target=0.95)
     else:
         _, idx = jax.lax.top_k(shared_score, m)  # [B, M]
 
-    cand_raw = jnp.take_along_axis(raw_flat, idx[..., None], axis=1)  # [B, M, 5+C]
+    cand_raw = jnp.take_along_axis(raw_flat, idx[..., None], axis=1).astype(
+        jnp.float32
+    )  # [B, M, 5+C]
     cls_scores = (
         jax.nn.sigmoid(cand_raw[..., 4:5]) * jax.nn.sigmoid(cand_raw[..., 5:])
     ).transpose(0, 2, 1)  # [B, C, M]
