@@ -11,7 +11,11 @@ repeats (default 8: amortizes the tunnel's ~1-2 ms per-execution
 dispatch floor, which a production host overlaps — the chip-true
 number). MAP-grade runs the two-program split (model+candidates /
 suppression; dodges the XLA-TPU compile cliff, tools/compile_split.py)
-with one dispatch pair per iteration — conservative.
+with the SAME ``inner`` amortization (round 5): ``inner`` chained
+candidate batches per stage-A program, one stage-B program suppressing
+all of them — rounds 3-4 dispatched one unamortized pair per batch,
+which put two tunnel dispatch floors on every 9.5 ms pair and made the
+driver number tunnel-load-sensitive (13,914 r3 vs 13,527 r4).
 """
 
 from __future__ import annotations
@@ -50,7 +54,8 @@ def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
     # production parity — the Predictor and the data pipeline transfer
     # uint8 and normalize on device.
     n_chips = max(1, len(jax.devices()))
-    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16)
+    model = build_detector("mobilenetv2x75", num_classes=20, dtype=jnp.bfloat16,
+                           head_dtype=None)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3), jnp.float32), False
     )
@@ -133,40 +138,78 @@ def main(batch: int = 128, size: int = 320, iters: int = 50, warmup: int = 5,
         # FUSED b128/M512 program hits the XLA-TPU backend-pass compile
         # cliff (330-920 s server-side); jitting (model+candidates) and
         # (suppression) separately compiles in seconds and measured
-        # FASTER end to end (tools/compile_split.py). Chained: stage A's
-        # input carries a scalar derived from stage B's previous output.
+        # FASTER end to end (tools/compile_split.py).
+        #
+        # Rounds 3-4 dispatched ONE a->b pair per iteration, so every
+        # pair paid the tunnel's ~1-2 ms per-execution dispatch floor
+        # twice and the driver number wobbled with tunnel load (13,914
+        # r3 -> 13,527 r4 = 2.8%, well inside one dispatch gap per
+        # 9.5 ms pair). Round 5 amortizes it the same way the serving
+        # config does: ``inner`` chained candidate batches inside ONE
+        # stage-A program (lax.scan), their pools suppressed by ONE
+        # stage-B program — the per-execution floor divides by
+        # ``inner``, and the two programs form independent dependency
+        # chains (A chains on A, B accumulates) so consecutive pairs
+        # overlap like production eval's chunk pipeline. Every
+        # execution stays on the final readback's dependency path.
         from yoloret_tpu.ops import shared_pool_candidates, shared_pool_suppress
 
         @jax.jit
-        def stage_a(variables, images, fb):
-            images = images + fb.astype(images.dtype)
-            x = images.astype(jnp.float32) * (1.0 / 255.0)
-            outs = model.apply(variables, x, False)
-            return shared_pool_candidates(
-                outs, anchors, 20, image_hw, num_candidates=pool_depth)
+        def stage_a(variables, images, fa):
+            def one(im, _):
+                x = im.astype(jnp.float32) * (1.0 / 255.0)
+                outs = model.apply(variables, x, False)
+                boxes, scores = shared_pool_candidates(
+                    outs, anchors, 20, image_hw, num_candidates=pool_depth)
+                im = im + (1e-12 * jnp.mean(boxes)).astype(im.dtype)
+                return im, (boxes, scores)
+            im0 = images + fa.astype(images.dtype)
+            _, (bs, ss) = jax.lax.scan(one, im0, None, length=inner)
+            fa_next = (1e-12 * jnp.mean(bs[-1])).astype(jnp.float32)
+            return bs, ss, fa_next
 
         @jax.jit
-        def stage_b(boxes, scores):
-            res = shared_pool_suppress(boxes, scores, score_threshold=thresh)
-            return (1e-12 * jnp.mean(res.scores)).astype(jnp.float32)
+        def stage_b(bs, ss, acc):
+            def one(a, xs):
+                res = shared_pool_suppress(*xs, score_threshold=thresh)
+                return a + (1e-12 * jnp.mean(res.scores)), None
+            acc, _ = jax.lax.scan(one, acc, (bs, ss))
+            return acc
 
         images = jnp.asarray(
             rng.randint(0, 256, (batch, size, size, 3), np.uint8))
-        fb = jnp.zeros((), jnp.float32)
+        fa = jnp.zeros((), jnp.float32)
+        acc = jnp.zeros((), jnp.float32)
         t_c = time.perf_counter()
         for _ in range(warmup):
-            fb = stage_b(*stage_a(variables, images, fb))
-        float(np.asarray(fb))
+            bs, ss, fa = stage_a(variables, images, fa)
+            acc = stage_b(bs, ss, acc)
+        float(np.asarray(acc))
         print(json.dumps({"compile_config": name, "split": True,
+                          "inner": inner,
                           "compile_warmup_s":
                               round(time.perf_counter() - t_c, 1)}),
               file=sys.stderr)
+        laps = []
         t0 = time.perf_counter()
         for _ in range(iters):
-            fb = stage_b(*stage_a(variables, images, fb))
-        float(np.asarray(fb))
+            t_i = time.perf_counter()
+            bs, ss, fa = stage_a(variables, images, fa)
+            acc = stage_b(bs, ss, acc)
+            laps.append(time.perf_counter() - t_i)
+        float(np.asarray(acc))
+        float(np.asarray(fa))
         dt = time.perf_counter() - t0
-        return batch * iters / dt / n_chips
+        # dispatch-time spread (NOT execution time — the backend queues
+        # ahead; the total is bounded by the readback above): a noisy
+        # tail here fingers the tunnel, not the chip.
+        laps_ms = sorted(1e3 * t for t in laps)
+        print(json.dumps({
+            "split_spread": name,
+            "dispatch_ms_p50": round(laps_ms[len(laps_ms) // 2], 2),
+            "dispatch_ms_max": round(laps_ms[-1], 2),
+        }), file=sys.stderr)
+        return batch * iters * inner / dt / n_chips
 
     # MAP-grade config first (threshold 0, 512-deep shared pool — the
     # mAP evaluator's measured-lossless default, tools/topk_study.py);
