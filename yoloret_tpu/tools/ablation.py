@@ -224,14 +224,22 @@ def job_rfcr_sd(workdir: str, fusion: str, seed: int) -> dict:
     }
 
 
-def job_ema(workdir: str, seed: int, decay: float = 0.9999) -> dict:
+def job_ema(workdir: str, seed: int, decay: float = 0.9999,
+            epochs: int = 60) -> dict:
     """Gate recipe with --use_ema: measures what evaluating the EMA copy
     buys over the raw params (the reference maintains the average but
     never consumes it, code/yolo3/train.py:42-45). ``decay`` sizes the
     averaging horizon: the reference's 0.9999 (~10k-step horizon) can
     never warm up on the 360-step gate recipe (round-4 measurement:
     -0.01 mAP); a schedule-matched decay (horizon ~ last third of
-    training) is the fair test of whether the average HELPS."""
+    training) is the fair test of whether the average HELPS.
+
+    CAVEAT (round-5 measurement): the num_updates warm-up ramp
+    min(decay, (1+t)/(10+t)) dominates any decay >= (1+T)/(10+T) for a
+    T-step run — on the 360-step recipe that is every decay >= 0.976,
+    so d=0.99 reproduced the d=0.9999 run BITWISE. Decays must sit
+    below the ramp's end value (or ``epochs`` must stretch the
+    schedule) to measure anything new."""
     from yoloret_tpu.data import Dataset, DatasetMode, load_anchors
     from yoloret_tpu.eval import evaluate_map
     from yoloret_tpu.infer import Predictor
@@ -240,7 +248,7 @@ def job_ema(workdir: str, seed: int, decay: float = 0.9999) -> dict:
 
     ann, held_ann, classes, anchors_path = _datasets(workdir)
     cfg = crowded_train_cfg(workdir, ann, classes, anchors_path,
-                            epochs=60, size=SIZE, batch=BATCH)
+                            epochs=epochs, size=SIZE, batch=BATCH)
     cfg = cfg.replace(use_ema=True, ema_decay=decay, seed=seed)
     weights = train(cfg)
 
@@ -571,6 +579,10 @@ def main(argv=None):
     p.add_argument("--arm", choices=["transfer", "random"], default="transfer")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--decay", type=float, default=0.9999)
+    p.add_argument("--epochs", type=int, default=60,
+                   help="ema job only: schedule length (the decay must "
+                   "sit below the warm-up ramp's end value to differ "
+                   "from the default run — see job_ema)")
     p.add_argument("--pretrained", default=None)
     p.add_argument("--root", default="/tmp/yoloret_ablation")
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
@@ -587,7 +599,7 @@ def main(argv=None):
     elif a.job == "rfcr_sd":
         res = job_rfcr_sd(a.workdir, a.fusion, a.seed)
     elif a.job == "ema":
-        res = job_ema(a.workdir, a.seed, a.decay)
+        res = job_ema(a.workdir, a.seed, a.decay, a.epochs)
     elif a.job == "pretrain":
         res = job_pretrain(a.workdir, a.seed)
     else:
